@@ -1,0 +1,126 @@
+"""robots.txt parsing + matching, replicating the reference's Robotex
+behavior exactly (reference lib/polipus/robotex.rb, itself vendored
+from chriskite/robotex — public code; behavior re-derived, not copied).
+
+Faithfully-kept quirks (these change the allowed set, so they matter
+for URL-seen-set equality with the reference):
+
+- ``allowed?`` checks Allow rules only while ``allowed`` is already
+  false — but ``allowed`` starts true and Disallow rules are evaluated
+  *after* the Allow block (robotex.rb:58-74).  Net effect: **Allow
+  rules are dead code**; a URL is allowed iff no Disallow rule of a
+  matching user-agent matches its request-uri.  We reproduce that.
+- patterns are escaped then ``*`` -> ``.*``, anchored with ``^``
+  (robotex.rb:88-92); matched against ``request_uri`` (path + query).
+- user-agent lines become the *current agent regex* for subsequent
+  rules; default agent regex matches anything (``/.*/``).
+- a robots fetch that is not HTTP 200 text/plain is treated as
+  allow-all (robotex.rb:17-20).
+- ``Crawl-Delay`` is ``value.to_i`` per agent regex; ``delay`` returns
+  the first matching agent's delay (robotex.rb:79-84).
+
+In this engine there is no network: robots bodies live in a small
+side-table of the synthetic world (host -> robots.txt text), broadcast
+to the URL-filter stage via ``ray.put`` and parsed once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .urltools import path_of
+
+
+def _to_regex(pattern: str) -> re.Pattern:
+    # Regexp.escape then '*' -> '.*', anchored at start (robotex.rb:88-92)
+    return re.compile("^" + re.escape(pattern).replace(re.escape("*"), ".*"))
+
+
+@dataclass
+class ParsedRobots:
+    """Parsed rules of one host's robots.txt."""
+
+    disallows: list[tuple[re.Pattern, list[re.Pattern]]] = field(default_factory=list)
+    allows: list[tuple[re.Pattern, list[re.Pattern]]] = field(default_factory=list)
+    delays: list[tuple[re.Pattern, int]] = field(default_factory=list)
+    parsed: bool = True
+
+    @classmethod
+    def parse(cls, body: str | None) -> "ParsedRobots":
+        # missing / non-200 / non-text-plain robots => allow-all
+        if body is None:
+            body = "User-agent: *\nAllow: /\n"
+        pr = cls()
+        agent = re.compile(".*")
+        dis: dict[int, tuple[re.Pattern, list[re.Pattern]]] = {}
+        alw: dict[int, tuple[re.Pattern, list[re.Pattern]]] = {}
+        for line in body.splitlines():
+            if re.match(r"^\s*(#.*|$)", line):
+                continue
+            key, _, value = line.partition(":")
+            value = value.strip()
+            key = key.strip().lower()
+            if key == "user-agent":
+                agent = _to_regex(value)
+            elif key == "allow" and value:
+                alw.setdefault(id(agent), (agent, []))[1].append(_to_regex(value))
+            elif key == "disallow" and value:
+                dis.setdefault(id(agent), (agent, []))[1].append(_to_regex(value))
+            elif key == "crawl-delay":
+                try:
+                    pr.delays.append((agent, int(float(value))))
+                except ValueError:
+                    pr.delays.append((agent, 0))
+        pr.disallows = list(dis.values())
+        pr.allows = list(alw.values())
+        return pr
+
+    def allowed(self, url: str, user_agent: str) -> bool:
+        """True iff no matching-agent Disallow rule matches the
+        request-uri.  (Allow rules intentionally never consulted —
+        see module docstring.)"""
+        if not self.parsed:
+            return True
+        path = path_of(url)
+        ok = True
+        # Allow block of the reference runs here but only `unless allowed`,
+        # and `allowed` is still true -> no-op. Kept as a comment for parity.
+        for agent_re, rules in self.disallows:
+            if agent_re.search(user_agent):
+                for rule in rules:
+                    if rule.search(path):
+                        ok = False
+        return ok
+
+    def delay(self, user_agent: str) -> int | None:
+        for agent_re, d in self.delays:
+            if agent_re.search(user_agent):
+                return d
+        return None
+
+
+class RobotsCache:
+    """Per-host parsed-robots cache, fed from a ``{host: body}`` dict
+    (the broadcast robots side-table).  Mirrors Robotex's ``@parsed``
+    memo (robotex.rb:111-121) without any network."""
+
+    def __init__(self, robots_bodies: dict[str, str], user_agent: str = "polipus-ray"):
+        self._bodies = robots_bodies
+        self._parsed: dict[str, ParsedRobots] = {}
+        self.user_agent = user_agent
+
+    def _for_host(self, host: str) -> ParsedRobots:
+        pr = self._parsed.get(host)
+        if pr is None:
+            pr = ParsedRobots.parse(self._bodies.get(host))
+            self._parsed[host] = pr
+        return pr
+
+    def allowed(self, url: str, host: str | None = None) -> bool:
+        from .urltools import host_of
+
+        return self._for_host(host or host_of(url)).allowed(url, self.user_agent)
+
+    def delay(self, host: str) -> int | None:
+        return self._for_host(host).delay(self.user_agent)

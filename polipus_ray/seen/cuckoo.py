@@ -1,0 +1,155 @@
+"""A numpy-backed cuckoo filter over 64-bit key hashes.
+
+Replaces the reference's Redis bloom filter URL tracker (reference
+lib/polipus/url_tracker/bloomfilter.rb: capacity 1e6, 1% FP,
+visited?/visit/remove/clear).  A cuckoo filter is used instead of a
+bloom filter because the tracker API includes ``remove`` (needed for
+TTL-based recrawl) and per the north rule.  Probabilistic FPs are
+in-spec (the reference runs at 1% FP); tests pin behavior against the
+exact-set oracle at sizes where FP ~ 0.
+
+Layout: ``buckets x 4`` slots of uint16 fingerprints (0 = empty).
+fingerprint  = bits 48..63 of the key hash, forced nonzero.
+index1       = hash & (buckets-1)
+index2       = index1 XOR (fp * 0x5bd1e995) & (buckets-1)   (partial-key cuckoo)
+Insert does BFS-free random-walk eviction up to ``max_kicks``.
+~2.1 bytes/key at 95% load: a 10^10-URL seen set is ~25 GB total,
+shardable across a few hundred actors (see shards.py).
+
+Serialization: ``to_bytes``/``from_bytes`` (checkpoint snapshots).
+Deterministic: the eviction "random" walk is seeded from the key.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+_SLOTS = 4
+_MIX = np.uint64(0x5BD1E995)
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int = 1_000_000, max_kicks: int = 500):
+        nbuckets = 1
+        while nbuckets * _SLOTS < capacity:
+            nbuckets *= 2
+        # headroom: cuckoo fills to ~95%; add one doubling
+        nbuckets *= 2
+        self.nbuckets = nbuckets
+        self.mask = np.uint64(nbuckets - 1)
+        self.table = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
+        self.max_kicks = max_kicks
+        self.count = 0
+
+    # -- key decomposition ------------------------------------------------
+    def _fp(self, h: int) -> int:
+        fp = (h >> 48) & 0xFFFF
+        return fp if fp != 0 else 1
+
+    def _i1(self, h: int) -> int:
+        return int(np.uint64(h) & self.mask)
+
+    def _alt(self, i: int, fp: int) -> int:
+        return int((np.uint64(i) ^ (np.uint64(fp) * _MIX)) & self.mask)
+
+    # -- single-key ops ---------------------------------------------------
+    def contains(self, h: int) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        if fp in self.table[i1]:
+            return True
+        return fp in self.table[self._alt(i1, fp)]
+
+    def add(self, h: int) -> bool:
+        """Insert; returns False if the filter is full (kick limit)."""
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._alt(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict: deterministic walk seeded by the key (64-bit LCG)
+        i = i1 if (h & 1) == 0 else i2
+        cur = fp
+        state = (h | 1) & 0xFFFFFFFFFFFFFFFF
+        for _ in range(self.max_kicks):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            slot = (state >> 62) & (_SLOTS - 1)
+            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            i = self._alt(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False  # full — caller should have sized capacity up
+
+    def remove(self, h: int) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        for i in (i1, self._alt(i1, fp)):
+            row = self.table[i]
+            hit = np.flatnonzero(row == fp)
+            if hit.size:
+                row[hit[0]] = 0
+                self.count -= 1
+                return True
+        return False
+
+    def clear(self) -> None:
+        self.table[:] = 0
+        self.count = 0
+
+    # -- batched ops (the hot path from the dedup stage) ------------------
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = hashes.astype(np.uint64, copy=False)
+        fps = ((hashes >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fps[fps == 0] = 1
+        i1 = (hashes & self.mask).astype(np.int64)
+        i2 = ((np.uint64(0) + i1.astype(np.uint64)) ^ (fps.astype(np.uint64) * _MIX)) & self.mask
+        t1 = self.table[i1]  # (n, SLOTS)
+        t2 = self.table[i2.astype(np.int64)]
+        f = fps[:, None]
+        return ((t1 == f) | (t2 == f)).any(axis=1)
+
+    def check_and_add_many(self, hashes: np.ndarray) -> np.ndarray:
+        """For each hash: True if already present, else insert it and
+        return False.  Duplicate hashes within the batch behave like
+        the reference's serialized enqueue (first occurrence inserts,
+        later ones read "visited").  Vectorized probe over the unique
+        keys; only genuinely-new keys take the per-key insert path."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        uniq, first_idx = np.unique(hashes, return_index=True)
+        pre = self.contains_many(uniq)
+        for h in uniq[~pre]:
+            self.add(int(h))
+        out = np.ones(len(hashes), dtype=bool)
+        out[first_idx[~pre]] = False
+        return out
+
+    # -- snapshot ---------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez_compressed(buf, table=self.table, count=np.int64(self.count), max_kicks=np.int64(self.max_kicks))
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        with np.load(io.BytesIO(data)) as z:
+            table = z["table"]
+            obj = cls.__new__(cls)
+            obj.table = table.copy()
+            obj.nbuckets = table.shape[0]
+            obj.mask = np.uint64(obj.nbuckets - 1)
+            obj.count = int(z["count"])
+            obj.max_kicks = int(z["max_kicks"])
+            return obj

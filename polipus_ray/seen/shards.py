@@ -1,0 +1,265 @@
+"""Sharded URL-seen + stored-page state, held in an actor pool.
+
+Replaces two pieces of reference shared state at once (they collapse
+naturally because both are keyed by canonical URL):
+
+- the Redis bloomfilter URL tracker (reference
+  lib/polipus/url_tracker/bloomfilter.rb, wired lib/polipus.rb:338-344,
+  probed at enqueue lib/polipus.rb:390,433) -> ``CuckooFilter`` (or an
+  exact set, the test oracle — reference
+  lib/polipus/url_tracker/redis_set.rb);
+- the storage ``exists?``/TTL manifest (reference lib/polipus.rb:404-416,
+  storage/base.rb) -> a per-shard ``{url_hash64: fetched_at}`` dict.
+  The page *content* lives in the parquet/lance page store; only the
+  membership+timestamp needed by ``page_exists?``/``page_expired?``
+  lives here.
+
+Partitioning: ``shard = host_hash64 % num_shards``.  Host affinity
+keeps all URLs of one host in one shard — the same key the frontier
+is partitioned by, so a dedup stage's batch usually touches few
+shards, and politeness state stays co-located.  Skew: a pathological
+single-host crawl concentrates on one shard; the engine's per-round
+``max_urls_per_host`` cap bounds the per-round traffic per shard.
+
+At 10^10 URLs: cuckoo ~2.1 B/key -> ~25 GB total; with 256 shards
+each actor holds ~100 MB of filter + the stored dict.  Shards are
+snapshot-able (bytes) for per-round checkpoints.
+
+The pool works in two modes: ``use_ray=True`` (each shard a Ray actor,
+``num_cpus`` fractional — probes are short) or local in-process
+objects (unit tests / the oracle simulator).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from .cuckoo import CuckooFilter
+
+
+class _ExactFilter:
+    """Exact-set stand-in with the CuckooFilter batched API (the
+    oracle for the probabilistic filter, as the reference's RedisSet
+    is for its bloomfilter)."""
+
+    def __init__(self, capacity: int = 0, max_kicks: int = 0):
+        self._s: set[int] = set()
+
+    @property
+    def count(self) -> int:
+        return len(self._s)
+
+    def contains(self, h: int) -> bool:
+        return int(h) in self._s
+
+    def add(self, h: int) -> bool:
+        self._s.add(int(h))
+        return True
+
+    def remove(self, h: int) -> bool:
+        try:
+            self._s.remove(int(h))
+            return True
+        except KeyError:
+            return False
+
+    def clear(self) -> None:
+        self._s.clear()
+
+    def contains_many(self, hashes) -> np.ndarray:
+        return np.fromiter((int(h) in self._s for h in hashes), dtype=bool, count=len(hashes))
+
+    def check_and_add_many(self, hashes) -> np.ndarray:
+        out = np.empty(len(hashes), dtype=bool)
+        for j, h in enumerate(hashes):
+            h = int(h)
+            out[j] = h in self._s
+            self._s.add(h)
+        return out
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self._s, protocol=5)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "_ExactFilter":
+        obj = cls()
+        obj._s = pickle.loads(data)
+        return obj
+
+
+class UrlSeenShard:
+    """One shard: seen-filter + stored-page manifest.  Runs either as
+    a plain object (tests) or as a Ray actor (the pool wraps it)."""
+
+    def __init__(self, kind: str = "cuckoo", capacity: int = 1_000_000):
+        self.kind = kind
+        self._mk = CuckooFilter if kind == "cuckoo" else _ExactFilter
+        self.filter = self._mk(capacity)
+        self.capacity = capacity
+        self.stored: dict[int, int] = {}  # url_hash64 -> fetched_at (unix s)
+
+    # --- tracker API (url_tracker parity: visited?/visit/remove/clear) ---
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.check_and_add_many(hashes)
+
+    def visited(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.contains_many(hashes)
+
+    def visit(self, hashes: np.ndarray) -> None:
+        for h in np.asarray(hashes, dtype=np.uint64):
+            if not self.filter.contains(int(h)):
+                self.filter.add(int(h))
+
+    def remove(self, hashes: np.ndarray) -> None:
+        for h in np.asarray(hashes, dtype=np.uint64):
+            self.filter.remove(int(h))
+
+    def clear(self) -> None:
+        self.filter.clear()
+        self.stored.clear()
+
+    # --- storage manifest API (page_exists? / ttl) -----------------------
+    def mark_stored(self, hashes: np.ndarray, fetched_at: np.ndarray) -> None:
+        for h, t in zip(np.asarray(hashes, dtype=np.uint64), np.asarray(fetched_at, dtype=np.int64)):
+            self.stored[int(h)] = int(t)
+
+    def unmark_stored(self, hashes: np.ndarray) -> None:
+        for h in np.asarray(hashes, dtype=np.uint64):
+            self.stored.pop(int(h), None)
+
+    def stored_info(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(exists mask, fetched_at; -1 where absent)."""
+        n = len(hashes)
+        exists = np.zeros(n, dtype=bool)
+        ts = np.full(n, -1, dtype=np.int64)
+        for j, h in enumerate(np.asarray(hashes, dtype=np.uint64)):
+            t = self.stored.get(int(h))
+            if t is not None:
+                exists[j] = True
+                ts[j] = t
+        return exists, ts
+
+    def counts(self) -> dict:
+        return {"seen": self.filter.count, "stored": len(self.stored)}
+
+    # --- checkpoint ------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {"kind": self.kind, "capacity": self.capacity, "filter": self.filter.to_bytes(), "stored": self.stored},
+            protocol=5,
+        )
+
+    def restore(self, data: bytes) -> None:
+        st = pickle.loads(data)
+        self.kind = st["kind"]
+        self.capacity = st["capacity"]
+        self._mk = CuckooFilter if self.kind == "cuckoo" else _ExactFilter
+        self.filter = self._mk.from_bytes(st["filter"])
+        self.stored = st["stored"]
+
+
+class SeenShardPool:
+    """Routes batched probes to shards by ``host_hash64 % num_shards``
+    and reassembles results in input order.  One round-trip per touched
+    shard per call (probes are batched, never per-URL RPCs)."""
+
+    def __init__(self, num_shards: int = 8, kind: str = "cuckoo", capacity_per_shard: int = 1_000_000, use_ray: bool = True):
+        self.num_shards = num_shards
+        self.use_ray = use_ray
+        if use_ray:
+            import ray
+
+            actor = ray.remote(num_cpus=0.25)(UrlSeenShard)
+            self.shards = [actor.remote(kind=kind, capacity=capacity_per_shard) for _ in range(num_shards)]
+        else:
+            self.shards = [UrlSeenShard(kind=kind, capacity=capacity_per_shard) for _ in range(num_shards)]
+
+    def _gather(self, refs):
+        if self.use_ray:
+            import ray
+
+            return ray.get(refs)
+        return refs
+
+    def _call(self, shard_id: int, method: str, *args):
+        h = self.shards[shard_id]
+        if self.use_ray:
+            return getattr(h, method).remote(*args)
+        return getattr(h, method)(*args)
+
+    def _route(self, host_hashes: np.ndarray) -> np.ndarray:
+        return (np.asarray(host_hashes, dtype=np.uint64) % np.uint64(self.num_shards)).astype(np.int64)
+
+    def _scatter_gather(self, method: str, url_hashes, host_hashes, extra_cols=()):
+        """Partition rows by shard, one batched call per shard, then
+        scatter results back to input order."""
+        url_hashes = np.asarray(url_hashes, dtype=np.uint64)
+        sid = self._route(host_hashes)
+        order = np.argsort(sid, kind="stable")
+        bounds = np.searchsorted(sid[order], np.arange(self.num_shards + 1))
+        refs, spans = [], []
+        for s in range(self.num_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            if lo == hi:
+                continue
+            idx = order[lo:hi]
+            args = [url_hashes[idx]] + [np.asarray(c)[idx] for c in extra_cols]
+            refs.append(self._call(s, method, *args))
+            spans.append(idx)
+        results = self._gather(refs)
+        return results, spans
+
+    def check_and_add(self, url_hashes, host_hashes) -> np.ndarray:
+        results, spans = self._scatter_gather("check_and_add", url_hashes, host_hashes)
+        out = np.zeros(len(url_hashes), dtype=bool)
+        for r, idx in zip(results, spans):
+            out[idx] = r
+        return out
+
+    def visited(self, url_hashes, host_hashes) -> np.ndarray:
+        results, spans = self._scatter_gather("visited", url_hashes, host_hashes)
+        out = np.zeros(len(url_hashes), dtype=bool)
+        for r, idx in zip(results, spans):
+            out[idx] = r
+        return out
+
+    def visit(self, url_hashes, host_hashes) -> None:
+        self._scatter_gather("visit", url_hashes, host_hashes)
+
+    def remove(self, url_hashes, host_hashes) -> None:
+        self._scatter_gather("remove", url_hashes, host_hashes)
+
+    def mark_stored(self, url_hashes, host_hashes, fetched_at) -> None:
+        self._scatter_gather("mark_stored", url_hashes, host_hashes, extra_cols=(np.asarray(fetched_at, dtype=np.int64),))
+
+    def unmark_stored(self, url_hashes, host_hashes) -> None:
+        self._scatter_gather("unmark_stored", url_hashes, host_hashes)
+
+    def stored_info(self, url_hashes, host_hashes) -> tuple[np.ndarray, np.ndarray]:
+        results, spans = self._scatter_gather("stored_info", url_hashes, host_hashes)
+        exists = np.zeros(len(url_hashes), dtype=bool)
+        ts = np.full(len(url_hashes), -1, dtype=np.int64)
+        for (ex, t), idx in zip(results, spans):
+            exists[idx] = ex
+            ts[idx] = t
+        return exists, ts
+
+    def counts(self) -> dict:
+        per = self._gather([self._call(s, "counts") for s in range(self.num_shards)])
+        return {
+            "seen": sum(c["seen"] for c in per),
+            "stored": sum(c["stored"] for c in per),
+            "per_shard": per,
+        }
+
+    def snapshot_all(self) -> list[bytes]:
+        return self._gather([self._call(s, "snapshot") for s in range(self.num_shards)])
+
+    def restore_all(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.num_shards, "shard count mismatch on restore"
+        self._gather([self._call(s, "restore", b) for s, b in enumerate(blobs)])
+
+    def clear(self) -> None:
+        self._gather([self._call(s, "clear") for s in range(self.num_shards)])
