@@ -1,0 +1,157 @@
+"""Benchmark harness — headline crawl + operator pipelines.
+
+Prints ONE JSON line:
+  {"metric": "crawl_fetch_dedup_urls", "value": <headline sec>,
+   "unit": "sec", "queries": {...per-pipeline sec...},
+   "sf": <sf>, "num_cpus": N, "urls_per_sec": ...}
+
+Headline: full wave-loop crawl (fetch + dedup + politeness + robots +
+phash columns + parquet sink) over a Ray-generated world of
+``GRAFT_WEB_PAGES`` pages (default 120000) derived from
+``$GRAFT_SF_DIR`` documents (default /root/testdata/sf0.1).
+
+--scaling: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the SAME pre-built world and reports
+scaling efficiency = (T8/T32)/(32/8); recorded in BASELINE.md.
+
+World generation is cached under /tmp (untimed; one warm read of the
+world happens before timing so disk cold-read is excluded).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_WEB_PAGES", "120000"))
+WORLD_ROOT = "/tmp/polipus_ray_bench"
+
+
+def ensure_world() -> str:
+    import ray
+
+    key = f"{os.path.basename(os.path.abspath(SF_DIR))}-{N_PAGES}"
+    out = os.path.join(WORLD_ROOT, key)
+    if os.path.exists(os.path.join(out, "world.json")):
+        return out
+    from polipus_ray.synth.bench_world import write_world_ray
+    from polipus_ray.synth.world import WorldSpec
+
+    write_world_ray(out, os.path.join(SF_DIR, "documents.parquet"), N_PAGES, spec=WorldSpec(num_seeds=16, redirect_mod=23), num_buckets=32)
+    return out
+
+
+def bench_crawl(world_dir: str) -> dict:
+    from polipus_ray.config import CrawlConfig
+    from polipus_ray.frontier.engine import CrawlEngine
+
+    run_dir = os.path.join(WORLD_ROOT, f"run-{NUM_CPUS}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        depth_limit=False,
+        obey_robots_txt=True,
+        workers=max(4, NUM_CPUS // 2),
+        fetch_batch_size=4096,
+        num_seen_shards=8,
+        checkpoint=False,
+    )
+    eng = CrawlEngine(world_dir, cfg, run_dir)
+    t0 = time.time()
+    res = eng.crawl()
+    dt = time.time() - t0
+    return {"sec": dt, "stored": res["stored"], "rounds": res["rounds"], "urls_per_sec": res["stored"] / dt}
+
+
+def bench_ops() -> dict:
+    out = {}
+    from polipus_ray.ops.ann import ann_topk_bruteforce
+    from polipus_ray.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+    from polipus_ray.ops.text import quality_stats, token_counts
+
+    def timed(name, fn):
+        t0 = time.time()
+        ds = fn()
+        n = ds.count() if hasattr(ds, "count") else len(ds)
+        out[name] = round(time.time() - t0, 3)
+        return n
+
+    timed("dedup_exact", lambda: exact_dedup(SF_DIR))
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(SF_DIR, threshold=0.8))
+    timed("dedup_simhash", lambda: simhash_pairs(SF_DIR, max_hamming=3))
+    timed("ann_cosine_topk", lambda: ann_topk_bruteforce(SF_DIR, k=5, num_queries=10))
+    timed("text_token_counts", lambda: token_counts(SF_DIR))
+    timed("text_quality", lambda: quality_stats(SF_DIR))
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    world = ensure_world()
+    # warm page cache (untimed)
+    for f in glob.glob(os.path.join(world, "web", "**", "*.parquet"), recursive=True):
+        with open(f, "rb") as fh:
+            fh.read()
+    crawl = bench_crawl(world)
+    queries = {"crawl": round(crawl["sec"], 3)}
+    queries.update(bench_ops())
+    result = {
+        "metric": "crawl_fetch_dedup_urls",
+        "value": round(crawl["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "web_pages": N_PAGES,
+        "stored": crawl["stored"],
+        "rounds": crawl["rounds"],
+        "urls_per_sec": round(crawl["urls_per_sec"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # pre-build world once so both levels time pure crawl
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ensure_world()
+    ray.shutdown()
+
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"urls_per_sec_{lo}": r_lo["urls_per_sec"],
+        f"urls_per_sec_{hi}": r_hi["urls_per_sec"],
+        "sf": SF_DIR,
+        "web_pages": N_PAGES,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,79 @@
+"""CrawlConfig — the reference's 28-option config surface
+(reference lib/polipus.rb:23-84) re-expressed for the Ray engine.
+
+Options keep the reference names and defaults where the concept
+survives; options that are artifacts of the Ruby/Redis runtime
+(timeouts on a network queue, redis factories, signal handler...) are
+kept as accepted-but-inert fields so a reference user's config dict
+still loads, with the replacement semantics noted inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class CrawlConfig:
+    # --- reference options (same names/defaults) -------------------------
+    workers: int = 4  # -> fetch actor-pool concurrency
+    user_agent: Any = "polipus-ray - 0.1.0"  # str or list (sampled per-URL by hash, O6)
+    depth_limit: Any = False  # False = unlimited
+    redirect_limit: int = 5
+    storage: str = "devnull"  # 'lance'|'parquet'|'memory'|'devnull' (reference default DevNull)
+    proxy_host: Any = None  # inert: no network
+    proxy_port: Any = False  # inert
+    proxy_user: Any = None  # inert
+    proxy_pass: Any = None  # inert
+    read_timeout: int = 30  # inert: simulated fetch
+    open_timeout: int = 10  # inert
+    queue_timeout: int = 30  # termination is exact (empty frontier), not a timeout
+    url_tracker: Any = None  # injected SeenShardPool; default cuckoo pool
+    redis_options: dict = field(default_factory=dict)  # inert
+    logger: Any = None
+    logger_level: Any = None
+    include_query_string_in_saved_page: bool = True
+    queue_items_limit: int = 2_000_000  # per-round active frontier cap (spill beyond)
+    queue_overflow_adapter: Any = None  # 'parquet'|'capped'|'devnull'|None
+    queue_overflow_manager_check_time: int = 60  # inert: spill handled per round
+    stats_enabled: bool = False  # metrics always recorded in round manifests
+    cookie_jar: Any = None  # inert
+    accept_cookies: bool = False  # inert
+    domain_aliases: list = field(default_factory=list)
+    connection_max_hits: Any = None  # inert: actor lifetime = pool lifetime
+    ttl_page: Any = None  # page TTL seconds (recrawl)
+    obey_robots_txt: bool = False
+    enable_signal_handler: bool = True  # graceful stop = finish round + checkpoint
+
+    # --- patterns / hooks (reference builder methods) --------------------
+    follow_links_like: list = field(default_factory=list)  # regex strings (whitelist)
+    skip_links_like: list = field(default_factory=list)  # regex strings (blacklist)
+    storage_except: list = field(default_factory=list)  # columns dropped before store (M21)
+
+    # --- Ray-engine knobs (new; scale surface) ---------------------------
+    fetch_concurrency: Any = None  # actor pool size; default = workers
+    fetch_batch_size: int = 1024
+    num_seen_shards: int = 8
+    seen_kind: str = "cuckoo"  # 'cuckoo' | 'exact'
+    seen_capacity_per_shard: int = 1_000_000
+    num_host_buckets: int = 64  # frontier/web partitioning key space
+    max_urls_per_host_per_round: int = 0  # 0 = uncapped; bounds skew/straggler tail
+    overflow_capped_max: int = 0  # capped spill adapter: keep newest N (O5)
+    politeness_default_delay: float = 0.0  # seconds of virtual clock per host fetch
+    retry_errors: int = 0  # re-enqueue error pages once when > 0 (error_handling pattern)
+    simulate_politeness_wall_clock: bool = False  # if True, fetcher really sleeps
+    checkpoint: bool = True
+    # rounds with <= this many active frontier rows run driver-side
+    # through the SAME stage callables (no cluster dispatch): the BFS
+    # tail/merge-small-rounds optimization.  0 disables.
+    small_round_threshold: int = 4096
+    clock: Callable[[], int] | None = None  # injected unix-seconds clock (determinism)
+
+    def resolved_fetch_concurrency(self) -> int:
+        return int(self.fetch_concurrency or self.workers)
+
+    def depth_allowed(self, depth: int) -> bool:
+        """reference lib/polipus.rb:239: expand links iff
+        depth_limit == false or depth_limit > page.depth"""
+        return self.depth_limit is False or self.depth_limit is None or int(self.depth_limit) > depth

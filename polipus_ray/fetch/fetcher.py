@@ -1,0 +1,265 @@
+"""Fetcher — the simulated-HTTP fetch stage as a map_batches /
+map_groups callable class (actor pool).
+
+Replaces the reference's HTTP client micro-pipeline (reference
+lib/polipus/http.rb: keep-alive pool :225-267, redirect chain
+:161-182, error pages :63-71) with a lookup join against the
+synthetic web table: one "fetch" = point lookup of the canonical URL,
+following the ``redirect_to`` column up to ``redirect_limit`` hops
+(cross-host stops the chain), folding earlier hops into ``aliases``
+(polipus.rb:204-216), emitting an error page when the URL resolves
+nowhere (the connection-refused analogue).
+
+Statefulness per actor (the reference's per-thread HTTP state T3-T5):
+- lazily-loaded web-table partitions: the web table is parquet
+  bucketed by ``host_bucket``; an actor loads (and caches) only the
+  buckets its batches touch.  The engine routes batches through
+  ``groupby("host_bucket")``, so one actor serves whole buckets —
+  the co-partitioned-join scale path (SURVEY.md §2 J1): actor memory
+  is O(buckets served), not O(web).
+- per-host politeness clock ``next_ok[host]`` (reference
+  robotex.rb:132-143 Crawl-Delay sleep; north-rule priority queue):
+  rows are processed in (priority, seq) order; each fetch advances the
+  host's virtual clock by the host's Crawl-Delay (or the configured
+  default).  Because ALL URLs of a host live in one host_bucket group,
+  the per-host serialization is exact with zero cross-actor
+  coordination.  Virtual time is recorded into ``fetched_at``; wall
+  sleeping is off by default (``simulate_politeness_wall_clock``).
+
+Post-redirect storage-dedup (reference polipus.rb:209-213): redirect
+finals are re-checked against the stored manifest via one batched
+shard-pool RPC per batch.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..robots import RobotsCache
+from ..urltools import host_hash64, host_of, page_uuid, url_hash64
+
+_FETCH_COLUMNS = ["doc_id", "url", "code", "content_type", "redirect_to", "caption", "links", "bytes", "w", "h", "fmt", "phash"]
+
+
+class Fetcher:
+    def __init__(
+        self,
+        web_dir: str,
+        robots_bodies: dict[str, str],
+        cfg: CrawlConfig,
+        pool=None,
+        round_no: int = 0,
+        now: int = 1_000_000,
+        num_buckets: int = 16,
+    ):
+        self.web_dir = web_dir
+        self.cfg = cfg
+        self.num_buckets = num_buckets
+        self.robots = RobotsCache(robots_bodies, str(cfg.user_agent))
+        self.pool = pool
+        self.round_no = round_no
+        self.now = now
+        self._buckets: dict[int, tuple[dict[str, int], pa.Table]] = {}
+        self._next_ok: dict[str, float] = {}
+
+    # -- web-table partition cache ---------------------------------------
+    def _bucket_of(self, url: str) -> int:
+        return host_hash64(host_of(url)) % self.num_buckets
+
+    def _load_bucket(self, b: int) -> tuple[dict[str, int], pa.Table]:
+        got = self._buckets.get(b)
+        if got is None:
+            files = sorted(glob.glob(os.path.join(self.web_dir, f"host_bucket={b}", "*.parquet")))
+            if files:
+                t = pa.concat_tables([pq.read_table(f, columns=_FETCH_COLUMNS) for f in files])
+            else:
+                t = pa.table({c: [] for c in _FETCH_COLUMNS})
+            idx = {u: i for i, u in enumerate(t["url"].to_pylist())}
+            got = (idx, t)
+            self._buckets[b] = got
+        return got
+
+    def _lookup(self, url: str):
+        idx, t = self._load_bucket(self._bucket_of(url))
+        i = idx.get(url)
+        return None if i is None else (t, i)
+
+    def _delay(self, host: str) -> float:
+        if self.cfg.obey_robots_txt:
+            d = self.robots.delay(host)
+            if d is not None:
+                return float(d)
+        return float(self.cfg.politeness_default_delay)
+
+    # -- the fetch batch --------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty()
+        # per-host priority order (O7): lower priority first, then FIFO seq
+        order = np.lexsort((batch["seq"].to_numpy(), batch["priority"].to_numpy()))
+        rows = batch.select(["url", "host", "referer", "depth", "seeded", "seq", "user_data", "attempt"]).to_pylist()
+
+        out: list[dict] = []
+        finals: list[tuple[int, pa.Table, int]] = []  # (out_idx, bucket table, row idx)
+        for oi in order:
+            m = rows[oi]
+            url = m["url"]
+            host = m["host"]
+            # politeness: virtual per-host clock
+            t0 = max(0.0, self._next_ok.get(host, 0.0))
+            d = self._delay(host)
+            self._next_ok[host] = t0 + d
+            if self.cfg.simulate_politeness_wall_clock and d > 0:
+                time.sleep(d)
+            # redirect chain (same-host, <= redirect_limit hops)
+            hops: list[str] = []
+            cur = url
+            hit = None
+            while True:
+                found = self._lookup(cur)
+                if found is None:
+                    hit = None
+                    break
+                t, i = found
+                hops.append(cur)
+                code = t["code"][i].as_py()
+                rt = t["redirect_to"][i].as_py()
+                if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= self.cfg.redirect_limit:
+                    cur = rt
+                    hit = (t, i)
+                    continue
+                hit = (t, i)
+                break
+            rec = {
+                "referer": m["referer"],
+                "depth": m["depth"],
+                "seeded": m["seeded"],
+                "seq": m["seq"],
+                "user_data": m["user_data"],
+                "round": self.round_no,
+                "response_time": (url_hash64(url) % 20) + 5,
+                "storable": True,
+            }
+            if hit is None:
+                # error page: original URL, no code, nil fetched_at (http.rb:63-71)
+                rec.update(
+                    url=url,
+                    host=host,
+                    aliases=[],
+                    code=None,
+                    caption=None,
+                    links=[],
+                    content_type="",
+                    bytes=None,
+                    w=None,
+                    h=None,
+                    fmt=None,
+                    phash=None,
+                    doc_id=None,
+                    error="connection failed",
+                    fetched_at=-1,
+                )
+            else:
+                t, i = hit
+                final_url = hops[-1]
+                rec.update(
+                    url=final_url,
+                    host=host_of(final_url),
+                    aliases=hops[:-1],
+                    code=t["code"][i].as_py(),
+                    error=None,
+                    fetched_at=self.now + int(t0),
+                )
+                finals.append((len(out), t, i))
+            out.append(rec)
+
+        # payload columns via batched take per bucket table (vectorized copy)
+        payload_cols = ["caption", "links", "content_type", "bytes", "w", "h", "fmt", "phash", "doc_id"]
+        by_table: dict[int, tuple[pa.Table, list[int], list[int]]] = {}
+        for out_idx, t, i in finals:
+            key = id(t)
+            ent = by_table.setdefault(key, (t, [], []))
+            ent[1].append(out_idx)
+            ent[2].append(i)
+        for t, out_idxs, row_idxs in by_table.values():
+            sub = t.select(payload_cols).take(pa.array(row_idxs))
+            pl = sub.to_pylist()
+            for j, oi in enumerate(out_idxs):
+                out[oi].update(pl[j])
+
+        # redirect-final / generic storage-dedup on the FINAL url
+        # (reference re-checks page_exists? after redirects, polipus.rb:209)
+        keep = np.ones(len(out), dtype=bool)
+        if self.pool is not None:
+            redirected = [j for j, r in enumerate(out) if r["aliases"] and not r["seeded"]]
+            if redirected:
+                uh = np.array([url_hash64(out[j]["url"], self.cfg.include_query_string_in_saved_page) for j in redirected], dtype=np.uint64)
+                hh = np.array([host_hash64(out[j]["host"]) for j in redirected], dtype=np.uint64)
+                exists, ts = self.pool.stored_info(uh, hh)
+                ttl = self.cfg.ttl_page
+                for k, j in enumerate(redirected):
+                    expired = ttl is not None and ts[k] >= 0 and (self.now - ttl) > ts[k]
+                    if exists[k] and not expired:
+                        keep[j] = False
+        out = [r for j, r in enumerate(out) if keep[j]]
+        return self._to_table(out)
+
+    def _schema(self) -> pa.Schema:
+        return pa.schema(
+            [
+                ("uuid", pa.string()),
+                ("url", pa.string()),
+                ("host", pa.string()),
+                ("host_bucket", pa.int32()),
+                ("url_hash", pa.uint64()),
+                ("host_hash", pa.uint64()),
+                ("aliases", pa.list_(pa.string())),
+                ("referer", pa.string()),
+                ("depth", pa.int32()),
+                ("seeded", pa.bool_()),
+                ("code", pa.int32()),
+                ("bytes", pa.large_binary()),
+                ("caption", pa.string()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("phash", pa.int64()),
+                ("links", pa.list_(pa.string())),
+                ("content_type", pa.string()),
+                ("response_time", pa.int64()),
+                ("fetched_at", pa.int64()),
+                ("error", pa.string()),
+                ("user_data", pa.string()),
+                ("seq", pa.int64()),
+                ("round", pa.int32()),
+                ("doc_id", pa.int64()),
+                ("storable", pa.bool_()),
+            ]
+        )
+
+    def _empty(self) -> pa.Table:
+        return self._schema().empty_table()
+
+    def _to_table(self, out: list[dict]) -> pa.Table:
+        if not out:
+            return self._empty()
+        inc = self.cfg.include_query_string_in_saved_page
+        for r in out:
+            r["uuid"] = page_uuid(r["url"], inc)
+            r["url_hash"] = url_hash64(r["url"], inc)
+            r["host_hash"] = host_hash64(r["host"])
+            r["host_bucket"] = host_hash64(r["host"]) % self.num_buckets
+        cols = {f.name: [r.get(f.name) for r in out] for f in self._schema()}
+        return pa.table({k: pa.array(v, self._schema().field(k).type) for k, v in cols.items()})
+
+
+def fetcher_kwargs(web_dir: str, robots_bodies: dict, cfg: CrawlConfig, pool, round_no: int, now: int, num_buckets: int) -> dict:
+    """fn_constructor_kwargs for map_batches/map_groups."""
+    return dict(web_dir=web_dir, robots_bodies=robots_bodies, cfg=cfg, pool=pool, round_no=round_no, now=now, num_buckets=num_buckets)

@@ -1,0 +1,108 @@
+"""Frontier spill — the queue-overflow design as data layout.
+
+Reference behavior being re-expressed (SURVEY.md §2 S9-S11, O4-O5, T6;
+reference lib/polipus/queue_overflow/*): the Redis main queue holds at
+most ``queue_items_limit`` messages; an overflow manager rotates the
+*oldest* excess into an adapter (Mongo FIFO / capped / DevNull) and
+restores it when the queue drains.
+
+Here the whole frontier is a FIFO list of parquet part files
+(seq-ordered).  Per round the engine activates the oldest parts up to
+``queue_items_limit`` rows; the rest stays spilled on disk — the
+frontier is NEVER fully resident (at 10^10 URLs it cannot be).
+Adapter kinds change only the retention policy applied after append
+(part-granular, parts are written small enough that the approximation
+is tight):
+
+- ``None`` / ``"parquet"``: keep everything (reference: no adapter =
+  unbounded Redis; mongo adapter = unbounded spill).
+- ``"devnull"``: drop the OLDEST parts beyond ``queue_items_limit``
+  (the reference rotates oldest excess into DevNull, i.e. keeps the
+  newest ``limit``).
+- ``"capped"``: drop the oldest parts beyond ``queue_items_limit +
+  capped_max`` (the capped Mongo queue keeps the newest ``max`` of
+  the spilled stream, mongo_queue_capped.rb:11-21).
+
+Restored items are re-validated at round start by the engine's
+dequeue-side re-check (policy sans tracker + storage anti-join),
+which subsumes the reference's restore-time ``url_filter`` +
+``storage.exists?`` re-check (manager.rb:35-53, J4).
+
+The parts list is JSON-serializable — it IS the frontier section of
+the checkpoint manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class FrontierSpill:
+    def __init__(self, root: str, adapter: str | None = None, queue_items_limit: int = 2_000_000, capped_max: int = 0, part_rows: int | None = None):
+        self.root = root
+        self.adapter = adapter
+        self.limit = queue_items_limit
+        self.capped_max = capped_max
+        # part granularity bounds both retention precision (devnull/
+        # capped trim whole parts) and restore granularity; default:
+        # a quarter of the active limit, capped at 64k rows
+        self.part_rows = part_rows or max(1, min(65536, queue_items_limit // 4))
+        self.parts: list[dict] = []  # {path, rows, part_id} FIFO (oldest first)
+        self._next_part = 0
+        os.makedirs(root, exist_ok=True)
+
+    # -- append (enqueue side) -------------------------------------------
+    def append_table(self, table: pa.Table) -> None:
+        if table.num_rows == 0:
+            return
+        for off in range(0, table.num_rows, self.part_rows):
+            chunk = table.slice(off, self.part_rows)
+            path = os.path.join(self.root, f"part-{self._next_part:06d}.parquet")
+            pq.write_table(chunk, path, compression="zstd")
+            self.parts.append({"path": path, "rows": chunk.num_rows, "part_id": self._next_part})
+            self._next_part += 1
+        self._enforce()
+
+    def _enforce(self) -> None:
+        if self.adapter == "devnull":
+            cap = self.limit
+        elif self.adapter == "capped":
+            cap = self.limit + self.capped_max
+        else:
+            return
+        # drop OLDEST parts while the NEWEST `cap` rows fit without them
+        while self.parts and (self.total_rows() - self.parts[0]["rows"]) >= cap:
+            dead = self.parts.pop(0)
+            try:
+                os.remove(dead["path"])
+            except OSError:
+                pass
+
+    # -- activate (dequeue side) -----------------------------------------
+    def take_active(self, limit_rows: int | None = None) -> tuple[list[str], int]:
+        """Pop the oldest parts covering up to limit_rows (at least one
+        part).  Returns (paths, rows)."""
+        limit_rows = limit_rows or self.limit
+        paths, rows = [], 0
+        while self.parts and (not paths or rows + self.parts[0]["rows"] <= limit_rows):
+            p = self.parts.pop(0)
+            paths.append(p["path"])
+            rows += p["rows"]
+        return paths, rows
+
+    def total_rows(self) -> int:
+        return sum(p["rows"] for p in self.parts)
+
+    def empty(self) -> bool:
+        return not self.parts
+
+    # -- checkpoint -------------------------------------------------------
+    def state(self) -> dict:
+        return {"parts": self.parts, "next_part": self._next_part}
+
+    def load_state(self, st: dict) -> None:
+        self.parts = list(st["parts"])
+        self._next_part = int(st["next_part"])

@@ -1,0 +1,158 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``ann_topk_bruteforce``: exact cosine top-k.  Query matrix is
+  broadcast once (``ray.put``); each batch does one float64 matmul and
+  emits per-batch partial top-k rows; a small ``groupby(query_id)``
+  merges partials — the map-side pre-aggregation pattern, so the
+  shuffle carries O(num_queries * k * num_batches) rows, never the
+  corpus.
+
+- ``ann_topk_ivf``: IVF-style scale path.  Deterministic k-means
+  (fixed seed/iterations) on a driver-side sample builds ``nlist``
+  centroids; vectors are assigned to their nearest centroid in a
+  map_batches pass; queries probe only ``nprobe`` lists.  Approximate:
+  pytest checks recall >= 0.8 against brute force; rows-only driver
+  check (not SQL-expressible).
+
+Ties broken by ascending neighbor id everywhere, in both the numpy
+and SQL implementations, so rank output is deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import emb_matrix
+
+
+def _load_queries(sf_dir: str, num_queries: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    q = t.filter(pc.less(t["vec_id"], num_queries))
+    order = np.argsort(q["vec_id"].to_numpy())
+    q = q.take(pa.array(order))
+    Q = emb_matrix(q["embedding"])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    return q["vec_id"].to_numpy(), Q
+
+
+def ann_topk_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 10):
+    import ray
+    import ray.data
+
+    qids, Q = _load_queries(sf_dir, num_queries)
+    qref = ray.put((qids, Q))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(qref)
+        ids = batch["vec_id"].to_numpy()
+        M = emb_matrix(batch["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Q_ @ M.T  # (nq, nb)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids_)):
+            s = sims[qi]
+            mask = ids != qids_[qi]  # exclude self
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            order = np.lexsort((ids[cand], -s[cand]))[: k]
+            for j in cand[order]:
+                out_q.append(int(qids_[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(s[j]))
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()), "neighbor_id": pa.array(out_n, pa.int64()), "sim": pa.array(out_s, pa.float64())}
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy()
+        nid = group["neighbor_id"].to_numpy()
+        order = np.lexsort((nid, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "neighbor_id": group["neighbor_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+        .sort(["query_id", "rank"])
+    )
+
+
+def _kmeans(M: np.ndarray, nlist: int, iters: int = 5, seed: int = 7) -> np.ndarray:
+    """Deterministic mini k-means (cosine space: rows pre-normalized)."""
+    n = len(M)
+    step = max(1, n // nlist)
+    C = M[::step][:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for c in range(len(C)):
+            members = M[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return C
+
+
+def ann_topk_ivf(sf_dir: str, k: int = 5, num_queries: int = 10, nlist: int = 16, nprobe: int = 4):
+    import ray
+    import ray.data
+
+    qids, Q = _load_queries(sf_dir, num_queries)
+    # centroids from a driver-side sample (full table at test scale;
+    # at 1e9+ vectors: ds.random_sample into the same routine)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    M = emb_matrix(t["embedding"])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = _kmeans(M, nlist)
+    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qref = ray.put((qids, Q, C, probe_lists))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, Q_, C_, probes_ = ray.get(qref)
+        ids = batch["vec_id"].to_numpy()
+        Mb = emb_matrix(batch["embedding"])
+        Mb = Mb / np.linalg.norm(Mb, axis=1, keepdims=True)
+        assign = np.argmax(Mb @ C_.T, axis=1)
+        sims = Q_ @ Mb.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids_)):
+            allowed = np.isin(assign, probes_[qi]) & (ids != qids_[qi])
+            cand = np.flatnonzero(allowed)
+            if cand.size == 0:
+                continue
+            order = np.lexsort((ids[cand], -sims[qi][cand]))[:k]
+            for j in cand[order]:
+                out_q.append(int(qids_[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi][j]))
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()), "neighbor_id": pa.array(out_n, pa.int64()), "sim": pa.array(out_s, pa.float64())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        order = np.lexsort((group["neighbor_id"].to_numpy(), -group["sim"].to_numpy()))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "neighbor_id": group["neighbor_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=1024).groupby("query_id").map_groups(merge, batch_format="pyarrow").sort(["query_id", "rank"])

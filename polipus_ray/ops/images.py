@@ -1,0 +1,157 @@
+"""Image stages over crawl pages / web tables (multimodal columns).
+
+Images are opaque ``binary`` columns with typed metadata (w/h/fmt) —
+the multimodal pattern: decode / feature-extract run as actor-pool
+``map_batches`` stages over small batches (payload-heavy rows), and
+every wide operation (near-dup grouping) runs on narrow projections
+(phash + id), never shipping bytes through a shuffle.
+
+The codec here is the in-repo PRAY raw/qjpg codec
+(polipus_ray.synth.images) because the container has no PIL/libjpeg;
+``DecodeVerify`` is where a real decoder would slot in (same batch
+shape, same output schema).  Unsupported formats surface as
+``ok=False`` rows, not exceptions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..synth.images import decode_image, phash64
+
+
+class DecodeVerify:
+    """Actor-pool decode + integrity stage: decodes each payload,
+    recomputes the perceptual hash and luminance stats.
+    Output: id columns + ok / phash_ok / mean_lum / decoded_px."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ok, phok, lum, npx = [], [], [], [], []
+        stored_ph = batch["phash"].to_pylist() if "phash" in batch.column_names else [None] * batch.num_rows
+        for i, data in enumerate(batch["bytes"].to_pylist()):
+            ids.append(batch[self.id_col][i].as_py())
+            if data is None:
+                ok.append(False)
+                phok.append(False)
+                lum.append(None)
+                npx.append(0)
+                continue
+            try:
+                px, w, h, fmt = decode_image(data)
+            except (ValueError, NotImplementedError):
+                ok.append(False)
+                phok.append(False)
+                lum.append(None)
+                npx.append(0)
+                continue
+            ok.append(True)
+            ph = phash64(px)
+            phok.append(stored_ph[i] is None or ph == (stored_ph[i] & 0xFFFFFFFFFFFFFFFF if stored_ph[i] >= 0 else stored_ph[i] + (1 << 64)))
+            lum.append(float(px.mean()))
+            npx.append(int(px.size // 3))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "ok": pa.array(ok, pa.bool_()),
+                "phash_ok": pa.array(phok, pa.bool_()),
+                "mean_lum": pa.array(lum, pa.float64()),
+                "n_px": pa.array(npx, pa.int64()),
+            }
+        )
+
+
+def decode_stage(ds, id_col: str = "doc_id", concurrency: int = 4, batch_size: int = 64):
+    """Attach the decode/verify actor-pool stage to a dataset with a
+    ``bytes`` column.  Small batch_size: payload-heavy rows."""
+    return ds.map_batches(
+        DecodeVerify,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
+    """Near-duplicate image pairs by perceptual hash: 4x16-bit
+    pigeonhole bands (Hamming <= 3 guaranteed; <= max_hamming verified
+    per pair, so 4 is best-effort beyond 3) -> groupby(band) ->
+    verified pairs (a, b).  Narrow columns only."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        band_id, band_val, ids, ph = [], [], [], []
+        for did, p in zip(batch[id_col].to_pylist(), batch["phash"].to_pylist()):
+            u = p + (1 << 64) if p < 0 else p
+            for bi in range(4):
+                band_id.append(bi)
+                band_val.append((u >> (16 * bi)) & 0xFFFF)
+                ids.append(did)
+                ph.append(p)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id, pa.int32()),
+                "band_val": pa.array(band_val, pa.int32()),
+                "id": pa.array(ids),
+                "phash": pa.array(ph, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy()
+        hs = group["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        uniq, first = np.unique(ids, return_index=True)
+        hs = hs[first]
+        A, B = [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
+                    A.append(int(min(uniq[i], uniq[j])))
+                    B.append(int(max(uniq[i], uniq[j])))
+        return pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    narrow = ds.select_columns([id_col, "phash"])
+    return (
+        narrow.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(first, batch_format="pyarrow")
+        .sort(["a", "b"])
+    )
+
+
+def phash_neardup_keep_first(ds, id_col: str = "doc_id", max_hamming: int = 4):
+    """Near-dup suppression (SURVEY.md §2 A5): connected components
+    over the near-dup pair graph, keep the min-id representative of
+    each component.  Pairs are few (narrow groupby output), so the
+    union-find runs driver-side; returns (id, keep) for every input
+    id.  At extreme pair counts swap for iterated min-label
+    propagation via groupby."""
+    pairs = phash_neardup_pairs(ds, id_col, max_hamming).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {x: find(x) for x in parent}
+    losers = {x for x, r in roots.items() if r != x}
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        keep = [i not in losers for i in ids]
+        return pa.table({id_col: batch[id_col], "keep": pa.array(keep, pa.bool_())})
+
+    return ds.select_columns([id_col]).map_batches(mark, batch_format="pyarrow")

@@ -1,0 +1,149 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All are single-pass ``map_batches`` stages with vectorized or
+compiled-once bodies; none shuffles.  The SQL-oracle-checked ones
+(token_counts, quality_stats) use definitions expressible in DuckDB
+SQL with exactly matching semantics; the heuristic ones (lang_id,
+fingerprints) are deterministic but not SQL-expressible (rows-only
+driver check + pytest oracles)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# fixed stopword list shared with the SQL oracle (keep in sync with
+# __ray_entry__.oracle_sql)
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+_STOP_RE = re.compile(r"\b(?:%s)\b" % "|".join(STOPWORDS))
+_PUNCT_RE = re.compile(r"[.!?,;:]")
+# BPE-ish tokenizer: runs of letters, runs of digits, or single
+# non-space symbols (GPT-2-style coarse pretokenization)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def _token_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    # n_tokens matches DuckDB len(string_split(text, ' '))
+    n_tokens = [len(t.split(" ")) for t in texts]
+    n_bpe = [len(_BPE_RE.findall(t)) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def token_counts(sf_dir: str):
+    """doc_id, n_tokens (space-split), n_bpe_tokens (regex), n_chars."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_token_batch, batch_format="pyarrow")
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    n_tokens = [len(t.split(" ")) for t in texts]
+    stop = [len(_STOP_RE.findall(t.lower())) for t in texts]
+    punct = [len(_PUNCT_RE.findall(t)) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "stop_cnt": pa.array(stop, pa.int64()),
+            "punct_cnt": pa.array(punct, pa.int64()),
+        }
+    )
+
+
+def quality_stats(sf_dir: str):
+    """Length / stopword / punctuation counts (quality-score inputs;
+    integer columns so the DuckDB value-hash comparison is exact)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_quality_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+
+_LANG_STOP = {
+    "en": {"the", "and", "of", "a", "to", "is", "in", "that", "it"},
+    "es": {"el", "la", "de", "y", "que", "en", "un", "una", "los"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que"},
+    "zh": set(),  # no-latin-stopword bucket
+}
+
+
+class LangId:
+    """Stopword-vote language heuristic (actor-pool stage: tables
+    compiled once per actor).  Deterministic tie-break by language
+    name.  Note: the synthetic corpus draws from one English-ish
+    vocabulary for every ``lang`` label, so this predicts 'en'
+    throughout on testdata — the pytest oracle checks determinism and
+    behavior on crafted inputs, not label recovery."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            toks = [w.lower() for w in self.word.findall(t)]
+            nonascii = sum(1 for ch in t if ord(ch) > 127)
+            if toks and nonascii > len(t) * 0.3:
+                preds.append("zh")
+                continue
+            votes = {lang: sum(1 for w in toks if w in sw) for lang, sw in _LANG_STOP.items() if sw}
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            preds.append(best[0][0] if best and best[0][1] > 0 else "unknown")
+        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())})
+
+
+def lang_id(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _doc_fingerprint(text: str, window: int = 4) -> int:
+    """Winnowing-style fingerprint: 64-bit rolling token hashes, min
+    over each sliding window, XOR-fold of the selected mins."""
+    toks = text.split(" ")
+    hs = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks]
+    if not hs:
+        return 0
+    if len(hs) < window:
+        out = 0
+        for h in hs:
+            out ^= h
+        return out
+    out = 0
+    for i in range(len(hs) - window + 1):
+        out ^= min(hs[i : i + window])
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+def _fp_batch(batch: pa.Table) -> pa.Table:
+    fps = [_doc_fingerprint(t) for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())})
+
+
+def fingerprints(sf_dir: str):
+    """doc_id -> winnowing fingerprint (deterministic; rows-only check)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_fp_batch, batch_format="pyarrow")

@@ -1,0 +1,206 @@
+"""Crawl-operator query surface for the correctness driver.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / Arrow
+table whose semantics are reproducible in ANSI SQL over the
+``documents`` view (see ``__ray_entry__.oracle_sql`` for the paired
+statements; the web-graph derivation they share is documented in
+synth/world.py).  Crawl results are memoized per (sf_dir, config)
+under /tmp because the driver may invoke several queries that share
+the same crawl."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from ..frontier.engine import CrawlEngine, make_link_extractor, make_prefetch_filter
+from ..synth.world import load_world
+from ..urltools import page_uuid
+from .worlds import SQL_SPEC, sql_world_for
+
+_RUNS = "/tmp/polipus_ray_runs"
+
+
+def _crawled_pages(sf_dir: str, cfg: CrawlConfig, tag: str) -> CrawlEngine:
+    world_dir = sql_world_for(sf_dir)
+    key = hashlib.md5(f"{world_dir}|{tag}".encode()).hexdigest()[:12]
+    run_dir = os.path.join(_RUNS, f"{tag}-{key}")
+    done = os.path.join(run_dir, "DONE")
+    eng = None
+    if not os.path.exists(done):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        eng = CrawlEngine(world_dir, cfg, run_dir)
+        eng.crawl()
+        with open(done, "w") as f:
+            f.write("ok")
+    if eng is None:
+        eng = CrawlEngine.__new__(CrawlEngine)  # read-only view: just paths
+        eng.pages_root = os.path.join(run_dir, "pages")
+        eng.run_dir = run_dir
+    return eng
+
+
+def crawl_bfs_depth2(sf_dir: str) -> pa.Table:
+    """Full engine crawl (robots on, depth_limit=2) on the SQL world;
+    stored pages as (uuid, url, depth, code).  Oracle: recursive SQL
+    reachability with min-depth semantics."""
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, checkpoint=False)
+    eng = _crawled_pages(sf_dir, cfg, "bfs2")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    fs = sorted(glob.glob(os.path.join(eng.pages_root, "round=*", "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f, columns=["uuid", "url", "depth", "code"]) for f in fs])
+    return t.sort_by("url")
+
+
+def crawl_web_derivation(sf_dir: str):
+    """The derived web graph itself: (doc_id, url, host, code,
+    n_links).  Validates the world generator against the SQL
+    derivation line by line."""
+    import ray.data
+
+    world_dir = sql_world_for(sf_dir)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        links = batch["links"]
+        n = [len(x) if x is not None else 0 for x in links.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": batch["url"],
+                "host": batch["host"],
+                "code": batch["code"],
+                "n_links": pa.array(n, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "url", "host", "code", "links"])
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def crawl_link_explode(sf_dir: str):
+    """Link extraction (canonicalize + in-domain + per-page dedup) of
+    the seed pages -> (url, link) rows, via the engine's real
+    LinkExtractor stage."""
+    import ray.data
+
+    world_dir = sql_world_for(sf_dir)
+    world = load_world(world_dir)
+    cfg = CrawlConfig(depth_limit=False)
+    extractor = make_link_extractor(cfg, None, world["num_buckets"])
+
+    def to_page_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": batch["url"],
+                "host": batch["host"],
+                "links": batch["links"],
+                "depth": pa.array([0] * n, pa.int32()),
+                "seq": batch["doc_id"],
+                "code": batch["code"],
+                "content_type": batch["content_type"],
+                "error": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    def seeds_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["doc_id"], SQL_SPEC.num_seeds))
+
+    ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "url", "host", "links", "code", "content_type"])
+    cand = ds.map_batches(seeds_only, batch_format="pyarrow").map_batches(to_page_rows, batch_format="pyarrow").map_batches(extractor, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch["referer"], "link": batch["url"]})
+
+    return cand.map_batches(project, batch_format="pyarrow").sort(["url", "link"])
+
+
+def crawl_robots_filter(sf_dir: str):
+    """All page URLs gated through the robots filter (M11) -> allowed
+    (doc_id, url) rows."""
+    import ray.data
+
+    world_dir = sql_world_for(sf_dir)
+    world = load_world(world_dir)
+    cfg = CrawlConfig(obey_robots_txt=True)
+    from ..frontier.engine import _policy_mask
+    from ..robots import RobotsCache
+
+    robots_bodies = world["robots"]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        robots = RobotsCache(robots_bodies, str(cfg.user_agent))
+        keep = _policy_mask(batch["url"].to_pylist(), batch["host"].to_pylist(), robots, [], [])
+        return pa.table({"doc_id": batch["doc_id"], "url": batch["url"]}).filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "url", "host"])
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def crawl_pattern_filter(sf_dir: str):
+    """Whitelist/blacklist filtering (M9/M10): keep /p/ URLs, skip
+    those whose path ends in 0."""
+    import ray.data
+
+    world_dir = sql_world_for(sf_dir)
+    cfg = CrawlConfig(follow_links_like=[r"/p/"], skip_links_like=[r"0$"])
+    import re
+
+    from ..frontier.engine import _policy_mask
+
+    follow = [re.compile(p) for p in cfg.follow_links_like]
+    skip = [re.compile(p) for p in cfg.skip_links_like]
+
+    def stage(batch: pa.Table) -> pa.Table:
+        keep = _policy_mask(batch["url"].to_pylist(), batch["host"].to_pylist(), None, follow, skip)
+        return pa.table({"doc_id": batch["doc_id"], "url": batch["url"]}).filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "url", "host"])
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def crawl_uuids(sf_dir: str):
+    """Storage uuid (MD5) column (M22) for every page URL."""
+    import ray.data
+
+    world_dir = sql_world_for(sf_dir)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        uu = [page_uuid(u) for u in batch["url"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "url": batch["url"], "uuid": pa.array(uu, pa.string())})
+
+    ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "url"])
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def crawl_phash_neardup(sf_dir: str):
+    """Near-dup image suppression marks over the world's images
+    (rows-only check; pytest oracle covers semantics)."""
+    import ray.data
+
+    from ..ops.images import phash_neardup_keep_first
+
+    world_dir = sql_world_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "phash"])
+    return phash_neardup_keep_first(ds, id_col="doc_id")
+
+
+def crawl_decode_verify(sf_dir: str):
+    """Image decode + integrity actor-pool stage over the world's
+    payloads (rows-only)."""
+    import ray.data
+
+    from ..ops.images import decode_stage
+
+    world_dir = sql_world_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "bytes", "phash"])
+    return decode_stage(ds, id_col="doc_id")

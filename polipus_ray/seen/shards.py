@@ -171,7 +171,10 @@ class SeenShardPool:
         if use_ray:
             import ray
 
-            actor = ray.remote(num_cpus=0.25)(UrlSeenShard)
+            # num_cpus=0: shards are small mostly-idle state holders
+            # serving sub-ms batched probes; reserving CPU per shard
+            # would starve the data-task pool on small clusters
+            actor = ray.remote(num_cpus=0)(UrlSeenShard)
             self.shards = [actor.remote(kind=kind, capacity=capacity_per_shard) for _ in range(num_shards)]
         else:
             self.shards = [UrlSeenShard(kind=kind, capacity=capacity_per_shard) for _ in range(num_shards)]

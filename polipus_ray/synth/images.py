@@ -1,0 +1,102 @@
+"""Deterministic toy image codec + perceptual hash (numpy only).
+
+The container has no PIL/libjpeg, so the "image" payload of the
+synthetic web table uses an in-repo codec with two formats:
+
+- ``raw``  — lossless: header + raw RGB bytes (stands in for PNG);
+- ``qjpg`` — simulated-lossy: pixel values floor-quantized to
+  multiples of 4 before storage (stands in for JPEG).  Uniform
+  quantization error in {0..3} gives MSE 3.5 -> PSNR ~42.7 dB, so the
+  per-row "decoded-pixel PSNR >= 40 dB for lossy formats" invariant
+  from the spec is real and testable, not vacuous.
+
+Header layout (little-endian): magic ``PRAY`` | fmt 4 bytes ascii
+(space padded) | w uint16 | h uint16 | payload (h*w*3 uint8 RGB).
+
+``phash64`` is a real 64-bit perceptual hash: grayscale -> 32x32
+nearest resize -> 2D DCT-II (matrix form) -> top-left 8x8 block ->
+bits = coeff > median.  Near-duplicate images (small noise) land
+within small Hamming distance; the near-dup suppression stage
+(SURVEY.md §2 A5) groups on the exact hash or a bucketed prefix.
+
+If real codecs become available, swap ``encode_image``/``decode_image``
+behind the same signatures; everything downstream (schema, batch
+shapes, actor plumbing) is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAGIC = b"PRAY"
+_HDR = 12  # magic4 + fmt4 + w2 + h2
+
+_QSTEP = 4  # qjpg quantization step -> PSNR ~42.7 dB
+
+
+def encode_image(pixels: np.ndarray, fmt: str = "raw") -> bytes:
+    """pixels: (h, w, 3) uint8."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    if fmt == "qjpg":
+        payload = ((pixels // _QSTEP) * _QSTEP).astype(np.uint8).tobytes()
+    elif fmt == "raw":
+        payload = pixels.tobytes()
+    else:
+        raise NotImplementedError(f"image format {fmt!r} (real codecs not available in this container)")
+    return _MAGIC + fmt.ljust(4).encode() + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little") + payload
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, int, int, str]:
+    """-> (pixels (h,w,3) uint8, w, h, fmt)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not a PRAY image")
+    fmt = data[4:8].decode().strip()
+    w = int.from_bytes(data[8:10], "little")
+    h = int.from_bytes(data[10:12], "little")
+    px = np.frombuffer(data, dtype=np.uint8, offset=_HDR, count=h * w * 3).reshape(h, w, 3)
+    return px, w, h, fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi / n * (i + 0.5) * k)
+    m[0] *= 1.0 / np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 image."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    yi = (np.arange(32) * h // 32).astype(np.int64)
+    xi = (np.arange(32) * w // 32).astype(np.int64)
+    small = gray[np.ix_(yi, xi)]
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:8, :8].ravel()
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def phash_batch(datas: list[bytes]) -> np.ndarray:
+    """Decode + phash a batch of encoded images -> uint64 array."""
+    return np.array([phash64(decode_image(d)[0]) for d in datas], dtype=np.uint64)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

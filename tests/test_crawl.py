@@ -1,0 +1,171 @@
+"""End-to-end crawl invariants vs the reference-semantics simulator
+(mirrors reference spec/polipus_spec.rb, which runs workers=1).
+
+The engine must match the oracle on: stored uuid set, FIFO crawl
+order (seq), aliases/referer/depth, tracker size."""
+
+import tempfile
+
+import pytest
+
+from polipus_ray.config import CrawlConfig
+from polipus_ray.frontier.engine import CrawlEngine
+from polipus_ray.oracle.simulator import simulate_crawl, web_table_to_dict
+from polipus_ray.synth.world import WorldSpec, make_web_table, robots_bodies, seed_urls, write_world
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def world_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("world")
+    spec = WorldSpec(redirect_mod=23)
+    write_world(str(d), DOCS, spec)
+    return str(d), spec
+
+
+def run_both(world_dir, spec, cfg, tmpdir=None, max_rounds=None):
+    run = tmpdir or tempfile.mkdtemp(prefix="crawlrun_")
+    eng = CrawlEngine(world_dir, cfg, run)
+    res = eng.crawl(max_rounds=max_rounds)
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), cfg)
+    return eng, res, sim
+
+
+def check_parity(eng, sim):
+    pt = eng.pages_table(columns=["uuid", "url", "seq", "depth", "aliases", "referer", "code"])
+    order = [u for _, u in sorted(zip(pt["seq"].to_pylist(), pt["url"].to_pylist()))]
+    assert set(pt["uuid"].to_pylist()) == set(sim.stored.keys())
+    assert order == sim.order
+    got = {r["uuid"]: (r["aliases"], r["referer"], r["depth"], r["code"]) for r in pt.to_pylist()}
+    want = {u: (p.aliases, p.referer, p.depth, p.code) for u, p in sim.stored.items()}
+    assert got == want
+
+
+def test_depth2_robots_redirects_distributed(ray_session, world_dir):
+    # small_round_threshold=0 forces the full Ray Dataset path
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, small_round_threshold=0)
+    eng, res, sim = run_both(wd, spec, cfg)
+    check_parity(eng, sim)
+    assert res["seen"] == len(sim.tracker)
+
+
+def test_full_crawl_local_fast_path(ray_session, world_dir):
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=False, obey_robots_txt=True)
+    eng, res, sim = run_both(wd, spec, cfg)
+    check_parity(eng, sim)
+    assert res["seen"] == len(sim.tracker)
+
+
+def test_blacklist_whitelist(ray_session, world_dir):
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, skip_links_like=[r"/p/1\d$"], follow_links_like=[r"/p/"])
+    eng, res, sim = run_both(wd, spec, cfg)
+    check_parity(eng, sim)
+    # blacklist actually bit: no stored page (except seeds) matches /p/1d
+    import re
+
+    urls = eng.pages_table(columns=["url", "seeded"]).to_pylist()
+    assert all(not re.search(r"/p/1\d$", r["url"]) or r.get("seeded") for r in urls if r)
+
+
+def test_error_pages_and_retry(ray_session, world_dir, tmp_path):
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=1)
+    run = str(tmp_path / "run")
+    eng = CrawlEngine(wd, cfg, run)
+    eng.seed(["http://h0.test/p/0", "http://nowhere.test/"])
+    errors_seen = []
+    eng.on_page_error(lambda t: errors_seen.append(t.num_rows))
+    eng.crawl()
+    pt = eng.pages_table(columns=["url", "error", "code", "fetched_at"])
+    errs = [r for r in pt.to_pylist() if r["error"]]
+    assert len(errs) == 1 and errs[0]["url"] == "http://nowhere.test/"
+    assert errs[0]["code"] is None and errs[0]["fetched_at"] == -1
+    assert errors_seen == [1]
+    # error pages are stored (reference stores storable error pages)
+    assert "http://nowhere.test/" in [r["url"] for r in pt.to_pylist()]
+
+
+def test_ttl_recrawl_and_seed_refetch(ray_session, world_dir, tmp_path):
+    wd, spec = world_dir
+    # first takeover
+    cfg = CrawlConfig(depth_limit=1, ttl_page=3600)
+    run1 = str(tmp_path / "r1")
+    eng1 = CrawlEngine(wd, cfg, run1)
+    eng1.crawl()
+    n1 = eng1.pages_table(columns=["uuid"]).num_rows
+    # second takeover, same pool (shared tracker+storage manifest), fresh pages dir
+    run2 = str(tmp_path / "r2")
+    eng2 = CrawlEngine(wd, cfg, run2, pool=eng1.pool)
+    eng2.crawl()
+    pt2 = eng2.pages_table(columns=["uuid", "seeded"])
+    # seeds always re-fetched (p_seeded bypass), everything else still fresh
+    assert pt2.num_rows == len(seed_urls(spec))
+    assert all(r["seeded"] for r in pt2.to_pylist())
+    # third takeover with everything expired -> full recrawl
+    cfg3 = CrawlConfig(depth_limit=1, ttl_page=0, clock=lambda: 10_000_000)
+    run3 = str(tmp_path / "r3")
+    eng3 = CrawlEngine(wd, cfg3, run3, pool=eng1.pool)
+    eng3.crawl()
+    assert eng3.pages_table(columns=["uuid"]).num_rows == n1
+
+
+def test_spill_limit_and_devnull(ray_session, world_dir, tmp_path):
+    wd, spec = world_dir
+    # tiny active slice: crawl proceeds in small waves but completes identically
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, queue_items_limit=8)
+    eng, res, sim = run_both(wd, spec, cfg, tmpdir=str(tmp_path / "small"))
+    pt = eng.pages_table(columns=["uuid"])
+    assert set(pt["uuid"].to_pylist()) == set(sim.stored.keys())
+    # devnull adapter: overflow beyond the limit is dropped -> fewer pages
+    cfgd = CrawlConfig(depth_limit=2, obey_robots_txt=True, queue_items_limit=8, queue_overflow_adapter="devnull")
+    engd = CrawlEngine(wd, cfgd, str(tmp_path / "dn"))
+    engd.crawl()
+    assert engd.pages_table(columns=["uuid"]).num_rows < len(sim.stored)
+
+
+def test_checkpoint_resume(ray_session, world_dir, tmp_path):
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=3, obey_robots_txt=True)
+    # uninterrupted reference run
+    eng_a, _, sim = run_both(wd, spec, cfg, tmpdir=str(tmp_path / "a"))
+    # interrupted: stop after 2 rounds, resume in a NEW engine
+    run_b = str(tmp_path / "b")
+    eng_b1 = CrawlEngine(wd, cfg, run_b)
+    eng_b1.crawl(max_rounds=2)
+    assert not eng_b1.spill.empty()
+    eng_b2 = CrawlEngine(wd, cfg, run_b)
+    eng_b2.crawl(resume=True)
+    pa_ = eng_a.pages_table(columns=["uuid", "seq", "url"])
+    pb = eng_b2.pages_table(columns=["uuid", "seq", "url"])
+    assert set(pa_["uuid"].to_pylist()) == set(pb["uuid"].to_pylist()) == set(sim.stored.keys())
+    oa = [u for _, u in sorted(zip(pa_["seq"].to_pylist(), pa_["url"].to_pylist()))]
+    ob = [u for _, u in sorted(zip(pb["seq"].to_pylist(), pb["url"].to_pylist()))]
+    assert oa == ob == sim.order
+
+
+def test_hooks_and_storable(ray_session, world_dir, tmp_path):
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=1)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    downloaded = []
+    eng.on_page_downloaded(lambda t: downloaded.append(t.num_rows))
+
+    def drop_404(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        storable = np.asarray(batch["storable"].to_numpy(zero_copy_only=False), dtype=bool)
+        storable &= ~(code == 404)
+        return batch.set_column(batch.schema.get_field_index("storable"), "storable", pa.array(storable))
+
+    eng.on_before_save(drop_404)
+    eng.crawl()
+    pt = eng.pages_table(columns=["code"])
+    assert sum(downloaded) == pt.num_rows
+    assert 404 not in pt["code"].to_pylist()

@@ -1,0 +1,196 @@
+"""Training-data operators vs brute-force / DuckDB oracles at sf0.001."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_vs_duckdb(ray_session):
+    from polipus_ray.ops.dedup import exact_dedup
+
+    got = exact_dedup(SF).to_pandas().sort_values("text_hash").reset_index(drop=True)
+    want = (
+        duckdb.sql(f"SELECT md5(text) AS text_hash, min(doc_id) AS doc_id FROM read_parquet('{SF}/documents.parquet') GROUP BY 1 ORDER BY 1")
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got["text_hash"].tolist() == want["text_hash"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def _docs_with_dups() -> pa.Table:
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()[:40]
+    ids = list(range(40))
+    # exact dup, near dup (token swap), and a prefix-trimmed near dup
+    texts += [texts[0], texts[1].replace("the", "a", 1), texts[2][:-10]]
+    ids += [1000, 1001, 1002]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+def _brute_jaccard_pairs(table, shingle_fn, threshold):
+    rows = table.to_pylist()
+    sets = {r["doc_id"]: shingle_fn(r["text"]) for r in rows}
+    ids = sorted(sets)
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            s1, s2 = sets[ids[i]], sets[ids[j]]
+            inter = np.intersect1d(s1, s2, assume_unique=True).size
+            union = s1.size + s2.size - inter
+            if union and inter / union >= threshold:
+                out.append((ids[i], ids[j]))
+    return sorted(out)
+
+
+def test_minhash_lsh_vs_bruteforce(ray_session):
+    from polipus_ray.ops.dedup import _shingles, minhash_lsh_pairs
+
+    t = _docs_with_dups()
+    got = [(r["a"], r["b"]) for r in minhash_lsh_pairs(SF, threshold=0.8, table=t).take_all()]
+    want = _brute_jaccard_pairs(t, _shingles, 0.8)
+    # LSH may miss borderline pairs but every returned pair is verified-true;
+    # with these dups (J ~ 1.0) recall must be full
+    assert got == want
+    assert (1000 and (0, 1000) in got) and (1, 1001) in got
+
+
+def test_simhash_pairs(ray_session):
+    from polipus_ray.ops.dedup import simhash64, simhash_pairs
+
+    t = _docs_with_dups()
+    got = [(r["a"], r["b"]) for r in simhash_pairs(SF, max_hamming=3, table=t).take_all()]
+    # brute force oracle
+    rows = t.to_pylist()
+    hs = {r["doc_id"]: simhash64(r["text"]) for r in rows}
+    ids = sorted(hs)
+    want = sorted(
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if bin(hs[ids[i]] ^ hs[ids[j]]).count("1") <= 3
+    )
+    assert got == want
+    assert (0, 1000) in got
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from polipus_ray.ops.dedup import ngram_jaccard_pairs
+
+    t = _docs_with_dups()
+    got = [(r["a"], r["b"]) for r in ngram_jaccard_pairs(SF, n=3, threshold=0.5, table=t).take_all()]
+    assert (0, 1000) in got
+    assert all(a < b for a, b in got)
+
+
+def test_embedding_dup_pairs_vs_duckdb(ray_session):
+    from polipus_ray.ops.dedup import embedding_dup_pairs
+
+    got = [(r["a"], r["b"]) for r in embedding_dup_pairs(SF, threshold=0.42).take_all()]
+    want = duckdb.sql(
+        f"""
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM read_parquet('{SF}/embeddings.parquet') x, read_parquet('{SF}/embeddings.parquet') y
+        WHERE x.vec_id < y.vec_id
+          AND list_cosine_similarity(x.embedding, y.embedding) >= 0.42
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_ann_bruteforce_vs_numpy(ray_session):
+    from polipus_ray.ops.ann import ann_topk_bruteforce
+    from polipus_ray.ops.dedup import emb_matrix
+
+    k, nq = 5, 8
+    got = ann_topk_bruteforce(SF, k=k, num_queries=nq).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    M = emb_matrix(t["embedding"])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    for q in range(nq):
+        qi = np.flatnonzero(ids == q)[0]
+        sims = M @ M[qi]
+        mask = ids != q
+        cand = np.flatnonzero(mask)
+        top = cand[np.lexsort((ids[cand], -sims[cand]))[:k]]
+        want = ids[top].tolist()
+        sub = got[got.query_id == q].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == want, q
+
+
+def test_ann_ivf_recall(ray_session):
+    from polipus_ray.ops.ann import ann_topk_bruteforce, ann_topk_ivf
+
+    k, nq = 5, 8
+    brute = ann_topk_bruteforce(SF, k=k, num_queries=nq).to_pandas()
+    ivf = ann_topk_ivf(SF, k=k, num_queries=nq, nlist=8, nprobe=5).to_pandas()
+    recalls = []
+    for q in range(nq):
+        b = set(brute[brute.query_id == q]["neighbor_id"])
+        i = set(ivf[ivf.query_id == q]["neighbor_id"])
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_token_and_quality_vs_duckdb(ray_session):
+    from polipus_ray.ops.text import quality_stats, token_counts
+
+    got = token_counts(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+    q = quality_stats(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    wq = duckdb.sql(
+        f"""SELECT doc_id,
+              len(regexp_extract_all(lower(text), '\\b(the|and|of|a|to|in|is)\\b')) AS stop_cnt,
+              len(regexp_extract_all(text, '[.!?,;:]')) AS punct_cnt
+            FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    assert q["stop_cnt"].tolist() == wq["stop_cnt"].tolist()
+    assert q["punct_cnt"].tolist() == wq["punct_cnt"].tolist()
+
+
+def test_lang_id_and_fingerprints(ray_session):
+    from polipus_ray.ops.text import fingerprints, lang_id
+
+    preds = lang_id(SF).to_pandas()
+    assert len(preds) == 500 and set(preds.columns) == {"doc_id", "pred_lang"}
+    assert preds["pred_lang"].notna().all()
+    fp1 = fingerprints(SF).to_pandas().sort_values("doc_id")
+    fp2 = fingerprints(SF).to_pandas().sort_values("doc_id")
+    assert fp1["fingerprint"].tolist() == fp2["fingerprint"].tolist()  # deterministic
+    assert fp1["fingerprint"].nunique() >= 450  # discriminative
+
+
+def test_decode_stage_and_phash_neardup(ray_session, tmp_path):
+    import ray.data
+
+    from polipus_ray.ops.images import decode_stage, phash_neardup_keep_first
+    from polipus_ray.synth.world import WorldSpec, make_web_table
+
+    spec = WorldSpec()
+    web = make_web_table(f"{SF}/documents.parquet", spec)
+    ds = ray.data.from_arrow(web.select(["doc_id", "bytes", "phash"]))
+    dec = decode_stage(ds, id_col="doc_id").to_pandas()
+    assert dec["ok"].all() and dec["phash_ok"].all()
+    marked = phash_neardup_keep_first(ray.data.from_arrow(web.select(["doc_id", "phash"])), id_col="doc_id").to_pandas()
+    dropped = set(marked[~marked.keep]["doc_id"])
+    # every generated near-dup row (i % 29 == 1) must be suppressed in
+    # favor of its base row i-1 (unless the base itself lost to an
+    # earlier member of the same component)
+    nd = {i for i in web["doc_id"].to_pylist() if i % spec.neardup_mod == 1 and i > 0}
+    assert nd, "world should contain near-dups"
+    assert len(dropped & nd) >= len(nd) * 0.9
+    keep_ids = set(marked[marked.keep]["doc_id"])
+    assert 0 in keep_ids

@@ -1,0 +1,56 @@
+"""Frontier spill adapters — FIFO, devnull, capped retention
+(reference spec/polipus/queue_overflow_spec.rb semantics re-expressed
+for the part-file frontier; see frontier/spill.py docstring)."""
+
+import pyarrow as pa
+
+from polipus_ray.frontier.spill import FrontierSpill
+
+
+def t(ids):
+    return pa.table({"seq": pa.array(ids, pa.int64())})
+
+
+def test_fifo_order_and_take_active(tmp_path):
+    sp = FrontierSpill(str(tmp_path), adapter=None, queue_items_limit=10)
+    for i in range(6):
+        sp.append_table(t([i * 3, i * 3 + 1, i * 3 + 2]))  # 6 parts x 3 rows
+    assert sp.total_rows() == 18
+    paths, rows = sp.take_active(10)
+    assert rows == 9  # whole parts under the limit
+    import pyarrow.parquet as pq
+
+    got = [s for p in paths for s in pq.read_table(p)["seq"].to_pylist()]
+    assert got == list(range(9))  # oldest first
+    assert sp.total_rows() == 9
+    paths2, rows2 = sp.take_active(100)
+    assert rows2 == 9 and sp.empty()
+
+
+def test_devnull_drops_oldest_beyond_limit(tmp_path):
+    sp = FrontierSpill(str(tmp_path), adapter="devnull", queue_items_limit=10)
+    for i in range(10):
+        sp.append_table(t([i * 2, i * 2 + 1]))  # 20 rows in 10 parts
+    # keeps the NEWEST ~limit rows (reference rotates oldest into DevNull)
+    assert sp.total_rows() <= 12 and sp.total_rows() >= 10
+    paths, _ = sp.take_active(100)
+    import pyarrow.parquet as pq
+
+    got = [s for p in paths for s in pq.read_table(p)["seq"].to_pylist()]
+    assert got[-1] == 19 and 0 not in got
+
+
+def test_capped_keeps_limit_plus_max(tmp_path):
+    sp = FrontierSpill(str(tmp_path), adapter="capped", queue_items_limit=10, capped_max=4)
+    for i in range(10):
+        sp.append_table(t([i * 2, i * 2 + 1]))
+    assert 14 <= sp.total_rows() <= 16
+
+
+def test_state_roundtrip(tmp_path):
+    sp = FrontierSpill(str(tmp_path), adapter=None, queue_items_limit=10)
+    sp.append_table(t([1, 2, 3]))
+    st = sp.state()
+    sp2 = FrontierSpill(str(tmp_path), adapter=None, queue_items_limit=10)
+    sp2.load_state(st)
+    assert sp2.total_rows() == 3 and sp2.parts == sp.parts
