@@ -101,7 +101,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs_depth2": f"""
             WITH RECURSIVE
             links AS (
-                SELECT d.doc_id AS src, ((d.doc_id + k.k * 16) % {n_eff}) AS dst
+                SELECT d.doc_id AS src,
+                       ((d.doc_id + k.k * 16 * (1 + ((d.doc_id // 16) % 64))) % {n_eff}) AS dst
                 FROM documents d CROSS JOIN (SELECT unnest([1,2,3]) AS k) k
                 WHERE (d.doc_id % 37) <> 0
             ),
@@ -123,7 +124,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_link_explode": f"""
             WITH l AS (
-                SELECT d.doc_id AS src, ((d.doc_id + k.k * 16) % {n_eff}) AS dst
+                SELECT d.doc_id AS src,
+                       ((d.doc_id + k.k * 16 * (1 + ((d.doc_id // 16) % 64))) % {n_eff}) AS dst
                 FROM documents d CROSS JOIN (SELECT unnest([1,2,3]) AS k) k
                 WHERE d.doc_id < {_NUM_SEEDS} AND (d.doc_id % 37) <> 0
             )

@@ -21,7 +21,12 @@ class CrawlConfig:
     user_agent: Any = "polipus-ray - 0.1.0"  # str or list (sampled per-URL by hash, O6)
     depth_limit: Any = False  # False = unlimited
     redirect_limit: int = 5
-    storage: str = "devnull"  # 'lance'|'parquet'|'memory'|'devnull' (reference default DevNull)
+    # 'parquet'|'lance'|'devnull'.  The reference defaults to DevNull
+    # (lib/polipus.rb:111); this engine defaults to the durable sink
+    # because the pages parquet IS the pipeline's dataflow — pass
+    # 'devnull' explicitly for the discard-everything bench mode
+    # (exists? always false, rounds deleted after link extraction).
+    storage: str = "parquet"
     proxy_host: Any = None  # inert: no network
     proxy_port: Any = False  # inert
     proxy_user: Any = None  # inert
@@ -62,8 +67,25 @@ class CrawlConfig:
     overflow_capped_max: int = 0  # capped spill adapter: keep newest N (O5)
     politeness_default_delay: float = 0.0  # seconds of virtual clock per host fetch
     retry_errors: int = 0  # re-enqueue error pages once when > 0 (error_handling pattern)
+    # decode every fetched payload + recompute/verify its perceptual
+    # hash in the fetch actor (the analogue of the reference parsing
+    # every body with Nokogiri; the M15/PSNR invariant path).  Adds a
+    # `payload_ok` column.
+    verify_payload: bool = False
+    # perceptual-hash pyramid depth for verify_payload: 1 = stored-size
+    # phash only; k > 1 additionally fingerprints k-1 downsampled
+    # scales (multi-scale near-dup robustness; standard image-ingest
+    # practice and the bench's representative per-payload compute)
+    phash_scales: int = 1
     simulate_politeness_wall_clock: bool = False  # if True, fetcher really sleeps
     checkpoint: bool = True
+    # 'pool': persistent fetch-actor pool, fixed bucket->actor affinity,
+    #   politeness clocks + web-bucket cache persist across rounds, link
+    #   extraction fused in-actor (one barrier per round).
+    # 'dataset': each round is a pure ray.data pipeline
+    #   (groupby(host_bucket).map_groups(Fetcher) -> write_parquet).
+    # Same stage callables either way — semantics identical.
+    fetch_mode: str = "pool"
     # rounds with <= this many active frontier rows run driver-side
     # through the SAME stage callables (no cluster dispatch): the BFS
     # tail/merge-small-rounds optimization.  0 disables.

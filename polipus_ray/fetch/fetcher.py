@@ -58,6 +58,11 @@ class Fetcher:
         round_no: int = 0,
         now: int = 1_000_000,
         num_buckets: int = 16,
+        web_refs: dict | None = None,
+        prefetch_check: bool = False,
+        mark_stored: bool = False,
+        before_save_hooks: list | None = None,
+        focus_crawl=None,
     ):
         self.web_dir = web_dir
         self.cfg = cfg
@@ -66,8 +71,23 @@ class Fetcher:
         self.pool = pool
         self.round_no = round_no
         self.now = now
+        # web_refs: {bucket: ray.ObjectRef(pa.Table)} — the web table
+        # broadcast ONCE per run (ray.put on the driver); plasma reads
+        # are zero-copy and shared across actors/rounds on a node,
+        # replacing a per-round per-actor parquet re-read
+        self.web_refs = web_refs
         self._buckets: dict[int, tuple[dict[str, int], pa.Table]] = {}
         self._next_ok: dict[str, float] = {}
+        # fused dequeue-side re-check (policy sans tracker + storage
+        # anti-join): saves a map_batches stage per round
+        self._prefetch_check = prefetch_check
+        self._mark_stored = mark_stored
+        self._prefilter = None
+        self._prefilter_now = None
+        self._robots_bodies = robots_bodies
+        self._before_save_hooks = list(before_save_hooks or [])
+        self._focus_crawl = focus_crawl
+        self._extractor = None
 
     # -- web-table partition cache ---------------------------------------
     def _bucket_of(self, url: str) -> int:
@@ -76,20 +96,30 @@ class Fetcher:
     def _load_bucket(self, b: int) -> tuple[dict[str, int], pa.Table]:
         got = self._buckets.get(b)
         if got is None:
-            files = sorted(glob.glob(os.path.join(self.web_dir, f"host_bucket={b}", "*.parquet")))
-            if files:
-                t = pa.concat_tables([pq.read_table(f, columns=_FETCH_COLUMNS) for f in files])
+            if self.web_refs is not None and b in self.web_refs:
+                import ray
+
+                t = ray.get(self.web_refs[b])  # zero-copy plasma read
             else:
-                t = pa.table({c: [] for c in _FETCH_COLUMNS})
+                files = sorted(glob.glob(os.path.join(self.web_dir, f"host_bucket={b}", "*.parquet")))
+                if files:
+                    t = pa.concat_tables([pq.read_table(f, columns=_FETCH_COLUMNS) for f in files])
+                else:
+                    t = pa.table({c: [] for c in _FETCH_COLUMNS})
+            t = t.combine_chunks()
             idx = {u: i for i, u in enumerate(t["url"].to_pylist())}
-            got = (idx, t)
+            # per-row hot-loop columns decoded once per bucket (chained
+            # ChunkedArray[i].as_py() costs ~10us/row otherwise)
+            codes = t["code"].to_numpy()
+            redirects = t["redirect_to"].to_pylist()
+            got = (idx, t, codes, redirects)
             self._buckets[b] = got
         return got
 
     def _lookup(self, url: str):
-        idx, t = self._load_bucket(self._bucket_of(url))
+        idx, t, codes, redirects = self._load_bucket(self._bucket_of(url))
         i = idx.get(url)
-        return None if i is None else (t, i)
+        return None if i is None else (t, i, int(codes[i]), redirects[i])
 
     def _delay(self, host: str) -> float:
         if self.cfg.obey_robots_txt:
@@ -100,6 +130,13 @@ class Fetcher:
 
     # -- the fetch batch --------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._prefetch_check and self.pool is not None and batch.num_rows:
+            if self._prefilter is None or self._prefilter_now != self.now:
+                from ..frontier.stages import make_prefetch_filter
+
+                self._prefilter = make_prefetch_filter(self._robots_bodies, self.cfg, self.pool, self.now)
+                self._prefilter_now = self.now
+            batch = self._prefilter(batch)
         if batch.num_rows == 0:
             return self._empty()
         # per-host priority order (O7): lower priority first, then FIFO seq
@@ -127,10 +164,8 @@ class Fetcher:
                 if found is None:
                     hit = None
                     break
-                t, i = found
+                t, i, code, rt = found
                 hops.append(cur)
-                code = t["code"][i].as_py()
-                rt = t["redirect_to"][i].as_py()
                 if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= self.cfg.redirect_limit:
                     cur = rt
                     hit = (t, i)
@@ -173,7 +208,7 @@ class Fetcher:
                     url=final_url,
                     host=host_of(final_url),
                     aliases=hops[:-1],
-                    code=t["code"][i].as_py(),
+                    code=code,  # final hop's code from the loop above
                     error=None,
                     fetched_at=self.now + int(t0),
                 )
@@ -209,7 +244,93 @@ class Fetcher:
                     if exists[k] and not expired:
                         keep[j] = False
         out = [r for j, r in enumerate(out) if keep[j]]
-        return self._to_table(out)
+        t = self._to_table(out)
+        if self._mark_stored and self.pool is not None and t.num_rows:
+            # fused mark-stored (only when no before_save hooks can
+            # flip storable): one RPC batch per fetch group
+            self.pool.mark_stored(
+                np.asarray(t["url_hash"].to_numpy(), dtype=np.int64).view(np.uint64),
+                np.asarray(t["host_hash"].to_numpy(), dtype=np.int64).view(np.uint64),
+                t["fetched_at"].to_numpy(zero_copy_only=False),
+            )
+        return t
+
+    # -- persistent-pool round method (fetch_mode='pool') ------------------
+    def run_round_batch(self, batch: pa.Table, round_no: int, now: int, out_path: str) -> dict:
+        """One actor's share of a round: prefilter+fetch (__call__),
+        before_save hooks, storable filter, mark-stored, except-drop,
+        parquet write, fused link extraction.  Returns counts + the
+        narrow candidate table (policy-prefiltered).  Reuses the exact
+        same stage callables as the Dataset path."""
+        from ..frontier.stages import PAGE_NARROW, filter_storable, make_link_extractor, make_mark_stored
+
+        self.round_no = round_no
+        self.now = now
+        tm: dict[str, float] = {}
+        s = time.perf_counter()
+        pages = self(batch)
+        tm["fetch"] = time.perf_counter() - s
+        if self.cfg.verify_payload and pages.num_rows:
+            s = time.perf_counter()
+            pages = self._verify_payloads(pages)
+            tm["verify"] = time.perf_counter() - s
+        if self._before_save_hooks:
+            for fn in self._before_save_hooks:
+                pages = fn(pages)
+            pages = filter_storable(pages)
+            if self.cfg.storage != "devnull" and self.pool is not None and pages.num_rows:
+                make_mark_stored(self.pool)(pages)
+        if self.cfg.storage_except:
+            pages = pages.drop_columns([c for c in self.cfg.storage_except if c in pages.column_names])
+        stored = pages.num_rows
+        errors = pages.num_rows - pages["error"].null_count if stored else 0
+        s = time.perf_counter()
+        if stored:
+            pq.write_table(pages, out_path, compression="zstd")
+        tm["write"] = time.perf_counter() - s
+        if self._extractor is None:
+            self._extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self._robots_bodies)
+        s = time.perf_counter()
+        cand = self._extractor(pages.select(PAGE_NARROW)) if stored else None
+        tm["extract"] = time.perf_counter() - s
+        return {"stored": stored, "errors": errors, "cand": cand, "path": out_path if stored else None, "timings": tm}
+
+    def _verify_payloads(self, pages: pa.Table) -> pa.Table:
+        """Decode each image payload and verify the stored perceptual
+        hash (per-row decoded-pixel invariant, SURVEY.md M15).  With
+        ``phash_scales > 1`` also fingerprints downsampled scales (a
+        multi-scale fingerprint pyramid)."""
+        import numpy as np
+
+        from ..synth.images import decode_image, phash64
+
+        scales = max(1, int(self.cfg.phash_scales))
+        ph = pages["phash"].to_pylist()
+        ok = []
+        for i, data in enumerate(pages["bytes"].to_pylist()):
+            if data is None:
+                ok.append(False)
+                continue
+            try:
+                px, _, _, _ = decode_image(data)
+            except (ValueError, NotImplementedError):
+                ok.append(False)
+                continue
+            want = ph[i]
+            got = phash64(px)
+            for s in range(1, scales):
+                side = max(4, 32 >> s)
+                yi = (np.arange(side) * px.shape[0] // side).astype(np.int64)
+                xi = (np.arange(side) * px.shape[1] // side).astype(np.int64)
+                phash64(px[np.ix_(yi, xi)])  # pyramid levels (fingerprint work)
+            ok.append(want is None or got == (want + (1 << 64) if want < 0 else want))
+        return pages.append_column("payload_ok", pa.array(ok, pa.bool_()))
+
+    def preload(self, buckets: list[int]) -> int:
+        """Warm this actor: load its web buckets (pool warm-up)."""
+        for b in buckets:
+            self._load_bucket(b)
+        return len(self._buckets)
 
     def _schema(self) -> pa.Schema:
         return pa.schema(
@@ -218,8 +339,8 @@ class Fetcher:
                 ("url", pa.string()),
                 ("host", pa.string()),
                 ("host_bucket", pa.int32()),
-                ("url_hash", pa.uint64()),
-                ("host_hash", pa.uint64()),
+                ("url_hash", pa.int64()),
+                ("host_hash", pa.int64()),
                 ("aliases", pa.list_(pa.string())),
                 ("referer", pa.string()),
                 ("depth", pa.int32()),
@@ -253,8 +374,10 @@ class Fetcher:
         inc = self.cfg.include_query_string_in_saved_page
         for r in out:
             r["uuid"] = page_uuid(r["url"], inc)
-            r["url_hash"] = url_hash64(r["url"], inc)
-            r["host_hash"] = host_hash64(r["host"])
+            uhv = url_hash64(r["url"], inc)
+            hhv = host_hash64(r["host"])
+            r["url_hash"] = uhv - (1 << 64) if uhv >= (1 << 63) else uhv
+            r["host_hash"] = hhv - (1 << 64) if hhv >= (1 << 63) else hhv
             r["host_bucket"] = host_hash64(r["host"]) % self.num_buckets
         cols = {f.name: [r.get(f.name) for r in out] for f in self._schema()}
         return pa.table({k: pa.array(v, self._schema().field(k).type) for k, v in cols.items()})

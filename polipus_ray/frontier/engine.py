@@ -3,57 +3,54 @@ Ray Data wave-per-depth pipeline.
 
 The reference's cyclic dataflow (fetch -> extract -> enqueue -> fetch,
 lib/polipus.rb:166-264) becomes a driver-level BFS wave loop; each
-round is one acyclic Dataset pipeline:
+round is two short Dataset pipelines:
 
-    read_parquet(active frontier parts)            [narrow columns]
-      -> map_batches(prefetch_filter)     dequeue-side re-check:
-         robots/whitelist/blacklist (should_be_visited? sans tracker,
-         polipus.rb:186,375-395) + storage anti-join w/ TTL
-         (page_exists?, :404-416) via batched seen-shard RPCs
-      -> groupby(host_bucket).map_groups(Fetcher, concurrency=W)
-         simulated fetch w/ redirect folding + per-host politeness
-         (host affinity exact because one bucket = one group)
-      -> side-effect hooks (on_page_error / on_page_downloaded)
-      -> before_save hooks -> filter(storable)
-      -> map_batches(mark_stored)  [shard manifest upsert]
-      -> write_parquet(pages/round=R)              [idempotent]
+  1. fetch+store:
+     read_parquet(active frontier parts)            [narrow columns]
+       -> groupby(host_bucket).map_groups(Fetcher, concurrency=W)
+          fused per batch: dequeue-side re-check (robots/whitelist/
+          blacklist sans tracker, polipus.rb:186,375-395; storage
+          anti-join + TTL, :404-416) -> simulated fetch with redirect
+          folding + per-host politeness (exact: one bucket = one
+          group) -> mark-stored manifest upsert
+       -> [before_save hook stages + storable filter, only when hooks
+          are registered]
+       -> write_parquet(pages/round=R)              [idempotent]
 
-    read_parquet(pages/round=R, columns=narrow)    [bytes NOT re-read]
-      -> map_batches(link_extractor)    canonicalize + in-domain +
-         per-page dedup + depth gate (page.rb:66-78, polipus.rb:239)
-      -> groupby(url_hash).map_groups(first)   intra-round distinct,
-         deterministic winner by (parent_seq, link_idx)  [A6]
-      -> map_batches(candidate_filter)  robots/white/black ->
-         TTL-expired bypass -> seen-shard check_and_add  [M14 order]
-      -> sort(parent_seq, link_idx) -> assign global seq ->
-         frontier spill parts (FIFO)               [O4]
+  2. link extraction:
+     read_parquet(pages/round=R, columns=narrow)    [bytes NOT re-read]
+       -> map_batches(link_extractor + fused enqueue-policy filter)
+       -> streamed to the driver: intra-round distinct (A6, first
+          discovery wins) -> tracker/TTL admit (seen-shard
+          check_and_add) -> FIFO seq assignment -> frontier spill
+
+The web table is broadcast once per run as per-bucket plasma objects
+(ray.put) — fetch actors ray.get them zero-copy instead of re-reading
+parquet every round.  Rounds with a small active frontier skip Ray
+entirely and run the same stage callables driver-side (the BFS-tail /
+merge-small-rounds optimization).
 
 Termination: empty frontier (exact, replacing the reference's 30 s
-queue idle timeout).  Crawl ordering: the per-row ``seq`` column is
-a faithful reconstruction of the reference's workers=1 FIFO order
-(seeds first, then links in parent-processing order), verified against
+queue idle timeout).  Crawl ordering: the per-row ``seq`` column
+reconstructs the reference's workers=1 FIFO order, verified against
 the oracle simulator.  Checkpoint/resume: see ckpt/manifest.py.
 
 Scale notes (10^10 frontier): the frontier is only ever resident as
-the active slice (queue_items_limit rows) of parquet parts; pages
-bytes flow straight from fetch to parquet and never enter a shuffle
-(dedup/distinct run on narrow link projections); the only wide
-shuffles per round are the two groupbys on narrow tables, both keyed
-by the single global partitioning key family (host_bucket /
-url_hash).  Seq assignment streams sorted survivors through the
-driver (narrow columns) — the determinism cost; set
-``deterministic_order=False`` to keep everything distributed and
-order-keyed by (round, parent_seq, link_idx) instead.
-"""
+the active slice (queue_items_limit rows) of parquet parts; page
+bytes flow fetch -> parquet and never enter a shuffle; the only
+all-to-all per round is the narrow groupby(host_bucket) frontier
+shuffle.  Candidate dedup/seq-assignment streams narrow link rows
+through the driver — the determinism cost; at larger-than-driver
+candidate volumes move distinct back to a groupby (the callable in
+stages.py is schedule-agnostic) and accept order keyed by
+(round, parent_seq, link_idx)."""
 
 from __future__ import annotations
 
 import glob
 import json
 import os
-import re
 import shutil
-from urllib.parse import urlsplit
 
 import numpy as np
 import pyarrow as pa
@@ -61,216 +58,34 @@ import pyarrow.parquet as pq
 
 from ..ckpt import CheckpointManager
 from ..config import CrawlConfig
-from ..fetch.fetcher import Fetcher
-from ..robots import RobotsCache
+from ..fetch.fetcher import _FETCH_COLUMNS, Fetcher
 from ..seen import SeenShardPool
 from ..synth.world import load_world
-from ..urltools import canonicalize, host_hash64, host_of, url_hash64
+from ..urltools import canonicalize
 from .spill import FrontierSpill
+from .stages import (
+    FRONTIER_COLS,
+    PAGE_NARROW,
+    _i64,
+    _policy_mask,
+    _u64col,
+    distinct_candidates,
+    filter_storable,
+    frontier_table,
+    make_link_extractor,
+    make_mark_stored,
+    make_prefetch_filter,
+    tracker_admit,
+)
 
-_HTML_RE = re.compile(r"^(text/html|application/xhtml\+xml)\b")
-
-FRONTIER_COLS = ["url", "host", "url_hash", "host_hash", "host_bucket", "referer", "depth", "seeded", "seq", "priority", "attempt", "user_data"]
-_PAGE_NARROW = ["url", "host", "links", "depth", "seq", "code", "content_type", "error"]
-
-
-def _i64(v: int) -> int:
-    """64-bit hash -> int64 bit pattern (Arrow/parquet-friendly)."""
-    return v - (1 << 64) if v >= (1 << 63) else v
-
-
-def _u64col(arr) -> np.ndarray:
-    return np.asarray(arr, dtype=np.int64).view(np.uint64)
-
-
-def frontier_table(rows: list[dict], num_buckets: int, include_qs: bool = True) -> pa.Table:
-    """Build a frontier-schema Arrow table from row dicts with at least
-    {url, referer, depth}; fills hashes/buckets/flags."""
-    cols = {c: [] for c in FRONTIER_COLS}
-    for r in rows:
-        url = r["url"]
-        host = host_of(url)
-        cols["url"].append(url)
-        cols["host"].append(host)
-        cols["url_hash"].append(_i64(url_hash64(url, include_qs)))
-        hh = host_hash64(host)
-        cols["host_hash"].append(_i64(hh))
-        cols["host_bucket"].append(hh % num_buckets)
-        cols["referer"].append(r.get("referer", ""))
-        cols["depth"].append(r.get("depth", 0))
-        cols["seeded"].append(bool(r.get("seeded", False)))
-        cols["seq"].append(r.get("seq", 0))
-        cols["priority"].append(r.get("priority", 0))
-        cols["attempt"].append(r.get("attempt", 0))
-        cols["user_data"].append(r.get("user_data", "{}"))
-    return pa.table(
-        {
-            "url": pa.array(cols["url"], pa.string()),
-            "host": pa.array(cols["host"], pa.string()),
-            "url_hash": pa.array(cols["url_hash"], pa.int64()),
-            "host_hash": pa.array(cols["host_hash"], pa.int64()),
-            "host_bucket": pa.array(cols["host_bucket"], pa.int32()),
-            "referer": pa.array(cols["referer"], pa.string()),
-            "depth": pa.array(cols["depth"], pa.int32()),
-            "seeded": pa.array(cols["seeded"], pa.bool_()),
-            "seq": pa.array(cols["seq"], pa.int64()),
-            "priority": pa.array(cols["priority"], pa.int64()),
-            "attempt": pa.array(cols["attempt"], pa.int32()),
-            "user_data": pa.array(cols["user_data"], pa.string()),
-        }
-    )
-
-
-# --------------------------------------------------------------------------
-# stage factories (closures are cloudpickled to tasks; all captured state
-# is small: compiled regexes, robots bodies, shard-pool handles)
-# --------------------------------------------------------------------------
-
-
-def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, follow, skip) -> np.ndarray:
-    """should_be_visited? prefix (robots -> whitelist -> blacklist),
-    lib/polipus.rb:375-384.  Patterns match url.path."""
-    n = len(urls)
-    keep = np.ones(n, dtype=bool)
-    if robots is not None:
-        keep &= np.fromiter((robots.allowed(u, h) for u, h in zip(urls, hosts)), dtype=bool, count=n)
-    if follow or skip:
-        paths = [urlsplit(u).path for u in urls]
-        if follow:
-            keep &= np.fromiter((any(rx.search(p) for rx in follow) for p in paths), dtype=bool, count=n)
-        if skip:
-            keep &= np.fromiter((not any(rx.search(p) for rx in skip) for p in paths), dtype=bool, count=n)
-    return keep
-
-
-def make_prefetch_filter(robots_bodies: dict, cfg: CrawlConfig, pool: SeenShardPool, now: int):
-    robots = RobotsCache(robots_bodies, str(cfg.user_agent)) if cfg.obey_robots_txt else None
-    follow = [re.compile(p) for p in cfg.follow_links_like]
-    skip = [re.compile(p) for p in cfg.skip_links_like]
-    ttl = cfg.ttl_page
-
-    def prefetch_filter(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch
-        urls = batch["url"].to_pylist()
-        hosts = batch["host"].to_pylist()
-        keep = _policy_mask(urls, hosts, robots, follow, skip)
-        # page_exists? (storage anti-join): seeds bypass; TTL re-admits
-        uh = _u64col(batch["url_hash"])
-        hh = _u64col(batch["host_hash"])
-        exists, ts = pool.stored_info(uh, hh)
-        expired = np.zeros(n, dtype=bool) if ttl is None else (exists & (ts >= 0) & ((now - ttl) > ts))
-        seeded = np.asarray(batch["seeded"].to_numpy(zero_copy_only=False), dtype=bool)
-        retry = np.asarray(batch["attempt"].to_numpy(zero_copy_only=False)) > 0
-        keep &= seeded | retry | ~exists | expired
-        return batch.filter(pa.array(keep))
-
-    return prefetch_filter
-
-
-def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 16):
-    aliases = set(cfg.domain_aliases)
-    inc = cfg.include_query_string_in_saved_page
-
-    def link_extractor(batch: pa.Table) -> pa.Table:
-        urls, hosts, urlh, hosth, buckets, refs, depths, pseqs, lidx = [], [], [], [], [], [], [], [], []
-        rows = batch.to_pylist()
-        for r in rows:
-            if r.get("error"):
-                continue
-            if not cfg.depth_allowed(r["depth"]):
-                continue
-            if not _HTML_RE.search(r.get("content_type") or ""):
-                continue  # links parsed only from HTML-ish pages (page.rb:87,126)
-            raw_links = focus_crawl(r) if focus_crawl is not None else (r["links"] or [])
-            page_url = r["url"]
-            page_host = r["host"]
-            seen_local: set[str] = set()
-            li = 0
-            for raw in raw_links:
-                c = canonicalize(raw, page_url)
-                if c is None:
-                    continue
-                h = host_of(c)
-                if h != page_host and h not in aliases:
-                    continue  # in-domain filter (page.rb:201-204)
-                if c in seen_local:
-                    continue  # per-page Set dedup (page.rb:68)
-                seen_local.add(c)
-                urls.append(c)
-                hosts.append(h)
-                urlh.append(_i64(url_hash64(c, inc)))
-                hh = host_hash64(h)
-                hosth.append(_i64(hh))
-                buckets.append(hh % num_buckets)
-                refs.append(page_url)
-                depths.append(r["depth"] + 1)
-                pseqs.append(r["seq"])
-                lidx.append(li)
-                li += 1
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "host": pa.array(hosts, pa.string()),
-                "url_hash": pa.array(urlh, pa.int64()),
-                "host_hash": pa.array(hosth, pa.int64()),
-                "host_bucket": pa.array(buckets, pa.int32()),
-                "referer": pa.array(refs, pa.string()),
-                "depth": pa.array(depths, pa.int32()),
-                "parent_seq": pa.array(pseqs, pa.int64()),
-                "link_idx": pa.array(lidx, pa.int32()),
-            }
-        )
-
-    return link_extractor
-
-
-def make_candidate_filter(robots_bodies: dict, cfg: CrawlConfig, pool: SeenShardPool, now: int):
-    robots = RobotsCache(robots_bodies, str(cfg.user_agent)) if cfg.obey_robots_txt else None
-    follow = [re.compile(p) for p in cfg.follow_links_like]
-    skip = [re.compile(p) for p in cfg.skip_links_like]
-    ttl = cfg.ttl_page
-
-    def candidate_filter(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch
-        urls = batch["url"].to_pylist()
-        hosts = batch["host"].to_pylist()
-        keep = _policy_mask(urls, hosts, robots, follow, skip)
-        if not keep.any():
-            return batch.filter(pa.array(keep))
-        # among policy-passing rows: TTL-expired bypass the tracker
-        # (should_be_visited? returns true BEFORE the tracker check,
-        # polipus.rb:387-390), but enqueue still marks them visited
-        # (:433) — check_and_add runs for every enqueued row.
-        idx = np.flatnonzero(keep)
-        uh = _u64col(batch["url_hash"])[idx]
-        hh = _u64col(batch["host_hash"])[idx]
-        if ttl is not None:
-            exists, ts = pool.stored_info(uh, hh)
-            expired = exists & (ts >= 0) & ((now - ttl) > ts)
-        else:
-            expired = np.zeros(len(idx), dtype=bool)
-        seen = pool.check_and_add(uh, hh)
-        sub_keep = expired | ~seen
-        keep[idx] = sub_keep
-        return batch.filter(pa.array(keep))
-
-    return candidate_filter
-
-
-def make_mark_stored(pool: SeenShardPool):
-    def mark_stored(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            pool.mark_stored(_u64col(batch["url_hash"]), _u64col(batch["host_hash"]), batch["fetched_at"].to_numpy(zero_copy_only=False))
-        return batch
-
-    return mark_stored
-
-
-# --------------------------------------------------------------------------
+# backwards-compat re-exports (pipelines/ and tests import from here)
+__all__ = [
+    "CrawlEngine",
+    "frontier_table",
+    "make_prefetch_filter",
+    "make_link_extractor",
+    "_policy_mask",
+]
 
 
 class CrawlEngine:
@@ -302,12 +117,18 @@ class CrawlEngine:
             use_ray=use_ray,
         )
         self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+        _required = {"uuid", "url", "host", "host_bucket", "url_hash", "host_hash", "seq", "depth", "code", "content_type", "error", "links", "fetched_at"}
+        bad = _required & set(cfg.storage_except or [])
+        if bad:
+            raise ValueError(f"storage_except may not drop engine-required columns: {sorted(bad)}")
         self.next_seq = 0
         self.round_no = 0
         self.clock_base = 1_000_000
         self.metrics: list[dict] = []
         self.stop_requested = False
         self._driver_fetcher: Fetcher | None = None
+        self._fetch_actors: list | None = None
+        self._web_refs: dict | None = None
         # hooks (reference builder surface, polipus.rb:283-319)
         self._on_page_downloaded: list = []
         self._on_before_save: list = []
@@ -343,9 +164,33 @@ class CrawlEngine:
         return self
 
     def request_stop(self):
-        """Graceful stop (signal-handler analogue): the current round
-        finishes, a checkpoint is written, crawl() returns."""
+        """Graceful stop (signal-handler analogue, reference
+        signal_handler.rb): the current round finishes, a checkpoint
+        is written, crawl() returns."""
         self.stop_requested = True
+
+    # -- web broadcast -----------------------------------------------------
+    def _ensure_web_refs(self) -> dict | None:
+        """Broadcast the web table per bucket into the object store,
+        once per run.  Fetch actors read it zero-copy every round."""
+        if not self.use_ray:
+            return None
+        if self._web_refs is None:
+            import ray
+
+            @ray.remote(num_cpus=0.5)
+            def _read_bucket(files: list[str]) -> pa.Table:
+                return pa.concat_tables([pq.read_table(f, columns=_FETCH_COLUMNS) for f in files]).combine_chunks()
+
+            # parallel read; each task's return lands in plasma and the
+            # ObjectRef IS the broadcast handle (no driver copy)
+            refs = {}
+            for d in sorted(glob.glob(os.path.join(self.world["web_dir"], "host_bucket=*"))):
+                b = int(d.split("=")[1])
+                files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+                refs[b] = _read_bucket.remote(files)
+            self._web_refs = refs
+        return self._web_refs
 
     # -- seeding -----------------------------------------------------------
     def seed(self, urls: list[str] | None = None) -> None:
@@ -408,17 +253,27 @@ class CrawlEngine:
             cb(self)
         for p in self.plugins:
             getattr(p, "on_crawl_end", lambda e: None)(self)
+        self.release_pool()
         return self.summary()
+
+    def release_pool(self) -> None:
+        """Free the persistent fetch actors (their reserved CPUs would
+        otherwise starve later pipelines in the same Ray session).
+        Recreated on demand if crawl() runs again."""
+        if self._fetch_actors:
+            import ray
+
+            for a in self._fetch_actors:
+                ray.kill(a)
+        self._fetch_actors = None
 
     def _now(self) -> int:
         if self.cfg.clock is not None:
             return int(self.cfg.clock())
         return self.clock_base + self.round_no * 10_000
 
+    # -- one round ---------------------------------------------------------
     def _run_round(self) -> None:
-        import ray
-        import ray.data
-
         r = self.round_no
         now = self._now()
         active_paths, active_rows = self.spill.take_active()
@@ -427,65 +282,46 @@ class CrawlEngine:
             return
         for p in self.plugins:
             getattr(p, "on_message_received", lambda e: None)(self)
-
-        if 0 < active_rows <= int(self.cfg.small_round_threshold or 0):
-            self._run_round_local(active_paths, active_rows, now)
-            return
-
-        ds = ray.data.read_parquet(active_paths)
-        ds = ds.map_batches(
-            make_prefetch_filter(self.world["robots"], self.cfg, self.pool, now),
-            batch_format="pyarrow",
-            batch_size=8192,
-        )
-        for p in self.plugins:
             getattr(p, "on_before_download", lambda e: None)(self)
-        pages = ds.groupby("host_bucket").map_groups(
-            Fetcher,
-            fn_constructor_kwargs=dict(
-                web_dir=self.world["web_dir"],
-                robots_bodies=self.world["robots"],
-                cfg=self.cfg,
-                pool=self.pool,
-                round_no=r,
-                now=now,
-                num_buckets=self.num_buckets,
-            ),
-            batch_format="pyarrow",
-            concurrency=self.cfg.resolved_fetch_concurrency(),
-            # fractional: the simulated fetch is lookup/IO-shaped; a pool
-            # reserving whole CPUs starves the read/write stages (ray
-            # guide pitfall) — sized so pool + other stages co-schedule
-            num_cpus=0.5,
-        )
-        for p in self.plugins:
-            getattr(p, "on_after_download", lambda e: None)(self)
-        # mutating hooks stay in-pipeline (must be serializable, pure):
-        # on_before_save may rewrite columns / unset storable
-        # (polipus.rb:302-305, 227-229)
-        for fn in self._on_before_save:
-            pages = pages.map_batches(fn, batch_format="pyarrow", batch_size=8192)
-        pages = pages.map_batches(_filter_storable, batch_format="pyarrow", batch_size=8192)
-        pages = pages.map_batches(make_mark_stored(self.pool), batch_format="pyarrow", batch_size=8192)
 
         round_dir = os.path.join(self.pages_root, f"round={r}")
         if os.path.exists(round_dir):
             shutil.rmtree(round_dir)  # idempotent re-run of this round
         os.makedirs(round_dir, exist_ok=True)
-        pages.write_parquet(round_dir)
+
+        # pool mode: every round goes through the persistent actor pool
+        # (a pool barrier on a tiny round is ~0.1 s; the driver-side
+        # path would pull whole web buckets into the driver).  The
+        # driver-local path serves use_ray=False engines and the BFS
+        # tail of dataset mode.
+        local = (not self.use_ray) or (self.cfg.fetch_mode == "dataset" and 0 < active_rows <= int(self.cfg.small_round_threshold or 0))
+        cand: pa.Table | None = None  # pool/local modes return candidates inline
+        self._last_counts = None
+        if local:
+            cand = self._fetch_store_local(active_paths, round_dir, r, now)
+        elif self.cfg.fetch_mode == "pool":
+            cand = self._fetch_store_pool(active_paths, round_dir, r, now)
+        else:
+            self._fetch_store_distributed(active_paths, round_dir, r, now)
+        for p in self.plugins:
+            getattr(p, "on_after_download", lambda e: None)(self)
 
         page_files = glob.glob(os.path.join(round_dir, "*.parquet"))
-        self._dedup_round_output(page_files)
-        stored_rows = sum(pq.read_metadata(f).num_rows for f in page_files) if page_files else 0
-        error_rows = 0
-        if page_files:
-            errs = pa.concat_tables([pq.read_table(f, columns=["error"]) for f in page_files])
-            error_rows = errs.num_rows - errs["error"].null_count
+        removed = self._dedup_round_output(page_files)
+        if self._last_counts is not None:
+            stored_rows = self._last_counts[0] - removed
+            error_rows = self._last_counts[1]
+        else:
+            stored_rows = sum(pq.read_metadata(f).num_rows for f in page_files) if page_files else 0
+            error_rows = 0
+            if page_files:
+                errs = pa.concat_tables([pq.read_table(f, columns=["error"]) for f in page_files])
+                error_rows = errs.num_rows - errs["error"].null_count
 
         # observe-only hooks run driver-side on the written round
-        # (closures over driver state work; remote-task side effects
-        # would be lost).  They see stored pages only — divergence
-        # from the reference (which calls them on every page) noted.
+        # (remote-task side effects on driver closures would be lost).
+        # They see stored pages only — noted divergence from the
+        # reference, which calls them on unstorable pages too.
         if (self._on_page_error and error_rows) or (self._on_page_downloaded and stored_rows):
             import pyarrow.compute as pc
 
@@ -499,23 +335,17 @@ class CrawlEngine:
 
         enqueued = 0
         if stored_rows > 0:
-            links = ray.data.read_parquet(round_dir, columns=_PAGE_NARROW)
-            cand = links.map_batches(
-                make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets),
-                batch_format="pyarrow",
-                batch_size=4096,
-            )
-            # intra-round distinct (A6): deterministic first discovery wins
-            cand = cand.groupby("url_hash").map_groups(_first_discovery, batch_format="pyarrow")
-            cand = cand.map_batches(
-                make_candidate_filter(self.world["robots"], self.cfg, self.pool, now),
-                batch_format="pyarrow",
-                batch_size=8192,
-            )
-            enqueued += self._emit_frontier(cand, r)
-        # bounded error retry (error pages as data, SURVEY.md §4 retries row)
+            if cand is None:
+                cand = self._extract_candidates(round_dir, local)
+            cand = distinct_candidates(cand)
+            cand = tracker_admit(cand, self.pool, self.cfg, now)
+            enqueued += self._emit_frontier(cand)
         if self.cfg_retry_errors() > 0 and stored_rows > 0:
             enqueued += self._requeue_errors(round_dir, r)
+        if self.cfg.storage == "devnull":
+            # DevNull store (reference storage/dev_null.rb): pages feed
+            # link extraction then vanish; exists? stays always-false
+            shutil.rmtree(round_dir, ignore_errors=True)
 
         self.metrics.append(
             {
@@ -526,6 +356,7 @@ class CrawlEngine:
                 "enqueued": enqueued,
                 "spill_pending": self.spill.total_rows(),
                 "now": now,
+                "local": local,
             }
         )
         for p in self.plugins:
@@ -533,128 +364,187 @@ class CrawlEngine:
         self.round_no += 1
         self._checkpoint()
 
-    def _run_round_local(self, active_paths: list[str], active_rows: int, now: int) -> None:
-        """Driver-side round for small frontiers (the BFS tail): the
-        SAME stage callables as the distributed path, applied to one
-        Arrow table — no cluster dispatch, identical semantics.  At
-        100 TB scale the tail rounds of a crawl are tiny; paying
-        full pipeline setup for 50 URLs is pure overhead."""
-        r = self.round_no
+    # -- fetch+store, two schedulers --------------------------------------
+    def _fetcher_kwargs(self, r: int, now: int, web_refs) -> dict:
+        return dict(
+            web_dir=self.world["web_dir"],
+            robots_bodies=self.world["robots"],
+            cfg=self.cfg,
+            pool=self.pool,
+            round_no=r,
+            now=now,
+            num_buckets=self.num_buckets,
+            web_refs=web_refs,
+            prefetch_check=True,
+            mark_stored=(self.cfg.storage != "devnull" and not self._on_before_save),
+        )
+
+    def _ensure_fetch_pool(self) -> list:
+        """Persistent fetch-actor pool (fetch_mode='pool'): created
+        once per run; bucket -> actor affinity is FIXED
+        (host_bucket % W) so per-host politeness clocks and cached web
+        buckets stay put across every round."""
+        if self._fetch_actors is None:
+            import ray
+
+            W = self.cfg.resolved_fetch_concurrency()
+            # 0.9 CPU: leaves scheduling headroom for the web-read
+            # tasks and shard probes even when W == total CPUs
+            A = ray.remote(num_cpus=0.9)(Fetcher)
+            kw = self._fetcher_kwargs(0, self._now(), self._ensure_web_refs())
+            kw.update(before_save_hooks=self._on_before_save, focus_crawl=self._focus_crawl)
+            self._fetch_actors = [A.remote(**kw) for _ in range(W)]
+        return self._fetch_actors
+
+    def _fetch_store_pool(self, active_paths: list[str], round_dir: str, r: int, now: int) -> pa.Table | None:
+        """One barrier per round: scatter narrow frontier rows to the
+        owning actors, each fetches + writes its parquet part +
+        extracts candidates."""
+        import ray
+
         t = pa.concat_tables([pq.read_table(p) for p in active_paths])
-        t = make_prefetch_filter(self.world["robots"], self.cfg, self.pool, now)(t)
-        if self._driver_fetcher is None:
-            self._driver_fetcher = Fetcher(
-                web_dir=self.world["web_dir"],
-                robots_bodies=self.world["robots"],
-                cfg=self.cfg,
-                pool=self.pool,
-                round_no=r,
-                now=now,
-                num_buckets=self.num_buckets,
+        actors = self._ensure_fetch_pool()
+        W = len(actors)
+        aid = (t["host_bucket"].to_numpy().astype(np.int64)) % W
+        order = np.argsort(aid, kind="stable")
+        bounds = np.searchsorted(aid[order], np.arange(W + 1))
+        refs = []
+        for a in range(W):
+            lo, hi = bounds[a], bounds[a + 1]
+            if lo == hi:
+                continue
+            sub = t.take(pa.array(order[lo:hi]))
+            refs.append(actors[a].run_round_batch.remote(sub, r, now, os.path.join(round_dir, f"part-{a}.parquet")))
+        results = ray.get(refs)
+        self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
+        cands = [res["cand"] for res in results if res["cand"] is not None and res["cand"].num_rows]
+        if not cands:
+            return self._empty_candidates()
+        return pa.concat_tables(cands)
+
+    def warm_pool(self) -> None:
+        """Spin up + preload the fetch pool and the web broadcast
+        before timing starts ('sustained' throughput excludes cluster
+        spin-up; see bench.py / BASELINE.md)."""
+        import ray
+
+        actors = self._ensure_fetch_pool()
+        W = len(actors)
+        buckets = sorted(int(d.split("=")[1]) for d in glob.glob(os.path.join(self.world["web_dir"], "host_bucket=*")))
+        refs = [actors[a].preload.remote([b for b in buckets if b % W == a]) for a in range(W)]
+        ray.get(refs)
+
+    def _empty_candidates(self) -> pa.Table:
+        return make_link_extractor(self.cfg, None, self.num_buckets)(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "links": pa.array([], pa.list_(pa.string())),
+                    "depth": pa.array([], pa.int32()),
+                    "seq": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int32()),
+                    "content_type": pa.array([], pa.string()),
+                    "error": pa.array([], pa.string()),
+                }
             )
-        self._driver_fetcher.round_no = r
-        self._driver_fetcher.now = now
-        pages = self._driver_fetcher(t) if t.num_rows else self._driver_fetcher._empty()
-        for fn in self._on_before_save:
-            pages = fn(pages)
-        pages = _filter_storable(pages)
-        pages = make_mark_stored(self.pool)(pages)
+        )
 
-        round_dir = os.path.join(self.pages_root, f"round={r}")
-        if os.path.exists(round_dir):
-            shutil.rmtree(round_dir)
-        os.makedirs(round_dir, exist_ok=True)
-        page_files = []
-        if pages.num_rows:
-            f = os.path.join(round_dir, "part-0.parquet")
-            pq.write_table(pages, f, compression="zstd")
-            page_files = [f]
-        self._dedup_round_output(page_files)
-        stored_rows = sum(pq.read_metadata(f).num_rows for f in page_files) if page_files else 0
-        error_rows = 0
-        if page_files:
-            import pyarrow.compute as pc
+    def _fetch_store_distributed(self, active_paths: list[str], round_dir: str, r: int, now: int) -> None:
+        import ray.data
 
-            full = pa.concat_tables([pq.read_table(f) for f in page_files])
-            error_rows = full.num_rows - full["error"].null_count
-            if self._on_page_error and error_rows:
-                err_t = full.filter(pc.is_valid(full["error"]))
-                for fn in self._on_page_error:
-                    fn(err_t)
-            for fn in self._on_page_downloaded:
-                fn(full)
+        ds = ray.data.read_parquet(active_paths)
+        pages = ds.groupby("host_bucket").map_groups(
+            Fetcher,
+            fn_constructor_kwargs=self._fetcher_kwargs(r, now, self._ensure_web_refs()),
+            batch_format="pyarrow",
+            concurrency=self.cfg.resolved_fetch_concurrency(),
+            # fractional: lookup-shaped stage; whole-CPU actors starve
+            # the read/write tasks on small clusters
+            num_cpus=0.5,
+        )
+        if self._on_before_save:
+            for fn in self._on_before_save:
+                pages = pages.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+            pages = pages.map_batches(filter_storable, batch_format="pyarrow", batch_size=8192)
+            if self.cfg.storage != "devnull":
+                pages = pages.map_batches(make_mark_stored(self.pool), batch_format="pyarrow", batch_size=8192)
+        if self.cfg.storage_except:
+            drop = list(self.cfg.storage_except)
+            pages = pages.map_batches(lambda b: b.drop_columns([c for c in drop if c in b.column_names]), batch_format="pyarrow", batch_size=8192)
+        pages.write_parquet(round_dir)
 
-        enqueued = 0
-        if stored_rows > 0:
-            narrow = pa.concat_tables([pq.read_table(f, columns=_PAGE_NARROW) for f in page_files])
-            cand = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets)(narrow)
-            if cand.num_rows:
-                # intra-round distinct, first (parent_seq, link_idx) wins
-                order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
-                cand = cand.take(pa.array(order))
-                _, first_idx = np.unique(cand["url_hash"].to_numpy(), return_index=True)
-                cand = cand.take(pa.array(np.sort(first_idx)))
-                cand = make_candidate_filter(self.world["robots"], self.cfg, self.pool, now)(cand)
-            if cand.num_rows:
-                order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
-                cand = cand.take(pa.array(order))
-                n = cand.num_rows
-                ft = pa.table(
-                    {
-                        "url": cand["url"],
-                        "host": cand["host"],
-                        "url_hash": cand["url_hash"],
-                        "host_hash": cand["host_hash"],
-                        "host_bucket": cand["host_bucket"],
-                        "referer": cand["referer"],
-                        "depth": cand["depth"],
-                        "seeded": pa.array([False] * n, pa.bool_()),
-                        "seq": pa.array(np.arange(self.next_seq, self.next_seq + n), pa.int64()),
-                        "priority": pa.array([0] * n, pa.int64()),
-                        "attempt": pa.array([0] * n, pa.int32()),
-                        "user_data": pa.array(["{}"] * n, pa.string()),
-                    }
-                )
-                self.next_seq += n
-                self.spill.append_table(ft)
-                enqueued = n
-        if self.cfg_retry_errors() > 0 and stored_rows > 0:
-            enqueued += self._requeue_errors(round_dir, r)
+    def _fetch_store_local(self, active_paths: list[str], round_dir: str, r: int, now: int) -> pa.Table | None:
+        t = pa.concat_tables([pq.read_table(p) for p in active_paths])
+        if self._driver_fetcher is None:
+            # share the broadcast web (zero-copy plasma) with the pool
+            kw = self._fetcher_kwargs(r, now, self._ensure_web_refs())
+            kw.update(before_save_hooks=self._on_before_save, focus_crawl=self._focus_crawl)
+            self._driver_fetcher = Fetcher(**kw)
+        res = self._driver_fetcher.run_round_batch(t, r, now, os.path.join(round_dir, "part-0.parquet"))
+        self._last_counts = (res["stored"], res["errors"])
+        return res["cand"] if res["cand"] is not None else self._empty_candidates()
 
-        self.metrics.append(
+    # -- candidates --------------------------------------------------------
+    def _extract_candidates(self, round_dir: str, local: bool) -> pa.Table:
+        extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self.world["robots"])
+        if local:
+            narrow = pa.concat_tables([pq.read_table(f, columns=PAGE_NARROW) for f in glob.glob(os.path.join(round_dir, "*.parquet"))])
+            return extractor(narrow)
+        import ray.data
+
+        ds = ray.data.read_parquet(round_dir, columns=PAGE_NARROW)
+        cand = ds.map_batches(extractor, batch_format="pyarrow", batch_size=4096)
+        parts = [b for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow")]
+        if not parts:
+            return extractor(pa.table({c: pa.array([], t) for c, t in zip(PAGE_NARROW, [pa.string(), pa.string(), pa.list_(pa.string()), pa.int32(), pa.int64(), pa.int32(), pa.string(), pa.string()])}))
+        return pa.concat_tables(parts)
+
+    def _emit_frontier(self, cand: pa.Table) -> int:
+        """Admitted candidates -> FIFO seq -> spill parts."""
+        if cand.num_rows == 0:
+            return 0
+        order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
+        cand = cand.take(pa.array(order))
+        n = cand.num_rows
+        ft = pa.table(
             {
-                "round": r,
-                "active": active_rows,
-                "stored": stored_rows,
-                "errors": error_rows,
-                "enqueued": enqueued,
-                "spill_pending": self.spill.total_rows(),
-                "now": now,
-                "local": True,
+                "url": cand["url"],
+                "host": cand["host"],
+                "url_hash": cand["url_hash"],
+                "host_hash": cand["host_hash"],
+                "host_bucket": cand["host_bucket"],
+                "referer": cand["referer"],
+                "depth": cand["depth"],
+                "seeded": pa.array(np.zeros(n, dtype=bool)),
+                "seq": pa.array(np.arange(self.next_seq, self.next_seq + n), pa.int64()),
+                "priority": pa.array(np.zeros(n, dtype=np.int64)),
+                "attempt": pa.array(np.zeros(n, dtype=np.int32)),
+                "user_data": pa.array(["{}"] * n, pa.string()),
             }
         )
-        for p in self.plugins:
-            getattr(p, "on_message_processed", lambda e: None)(self)
-        self.round_no += 1
-        self._checkpoint()
+        self.next_seq += n
+        self.spill.append_table(ft)
+        return n
 
-    def _dedup_round_output(self, page_files: list[str]) -> None:
+    def _dedup_round_output(self, page_files: list[str]) -> int:
         """Within-round uuid dedup, min-seq wins.  Arises only when a
         redirect source and its target are fetched in the same round:
         the reference's FIFO serialization makes the later message hit
         ``page_exists?`` (polipus.rb:209-213); concurrent groups can
         both store, so the deterministic loser rows are dropped here
-        (cheap: narrow uuid/seq scan; rewrite only affected files)."""
+        (cheap: narrow uuid/seq scan; rewrite only affected files).
+        Returns the number of rows removed."""
         if not page_files:
-            return
+            return 0
+        import collections
+
         import pyarrow.compute as pc
 
         narrow = []
         for f in page_files:
             t = pq.read_table(f, columns=["uuid", "seq"])
             narrow.append((f, t))
-        import collections
-
         best: dict[str, int] = {}
         counts: collections.Counter = collections.Counter()
         for _, t in narrow:
@@ -664,65 +554,39 @@ class CrawlEngine:
                     best[u] = s
         dup_uuids = {u for u, c in counts.items() if c > 1}
         if not dup_uuids:
-            return
+            return 0
+        removed = 0
         winners_marked = []
         for f, t in narrow:
-            has_dup = any(u in dup_uuids for u in t["uuid"].to_pylist())
-            if not has_dup:
+            if not any(u in dup_uuids for u in t["uuid"].to_pylist()):
                 continue
             full = pq.read_table(f)
             keep = [u not in dup_uuids or s == best[u] for u, s in zip(full["uuid"].to_pylist(), full["seq"].to_pylist())]
             kept = full.filter(pa.array(keep))
+            removed += full.num_rows - kept.num_rows
             pq.write_table(kept, f, compression="zstd")
             win = kept.filter(pc.is_in(kept["uuid"], value_set=pa.array(list(dup_uuids))))
             if win.num_rows:
                 winners_marked.append(win)
         # re-assert winners' fetched_at in the stored manifest (losers
         # may have overwritten it via mark_stored)
-        for win in winners_marked:
-            self.pool.mark_stored(
-                _u64col(win["url_hash"]),
-                _u64col(win["host_hash"]),
-                win["fetched_at"].to_numpy(zero_copy_only=False),
-            )
+        if self.cfg.storage != "devnull":
+            for win in winners_marked:
+                self.pool.mark_stored(
+                    _u64col(win["url_hash"]),
+                    _u64col(win["host_hash"]),
+                    win["fetched_at"].to_numpy(zero_copy_only=False),
+                )
+        return removed
 
     def cfg_retry_errors(self) -> int:
         return int(getattr(self.cfg, "retry_errors", 0) or 0)
 
-    def _emit_frontier(self, cand_ds, r: int) -> int:
-        """Sorted survivors -> global seq -> spill parts.  Streams
-        narrow rows through the driver (see module docstring)."""
-        total = 0
-        sorted_ds = cand_ds.sort(["parent_seq", "link_idx"])
-        for b in sorted_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            n = b.num_rows
-            if n == 0:
-                continue
-            t = pa.table(
-                {
-                    "url": b["url"],
-                    "host": b["host"],
-                    "url_hash": b["url_hash"],
-                    "host_hash": b["host_hash"],
-                    "host_bucket": b["host_bucket"],
-                    "referer": b["referer"],
-                    "depth": b["depth"],
-                    "seeded": pa.array([False] * n, pa.bool_()),
-                    "seq": pa.array(np.arange(self.next_seq, self.next_seq + n), pa.int64()),
-                    "priority": pa.array([0] * n, pa.int64()),
-                    "attempt": pa.array([0] * n, pa.int32()),
-                    "user_data": pa.array(["{}"] * n, pa.string()),
-                }
-            )
-            self.next_seq += n
-            self.spill.append_table(t)
-            total += n
-        return total
-
     def _requeue_errors(self, round_dir: str, r: int) -> int:
-        t = pa.concat_tables(
-            [pq.read_table(f, columns=["url", "referer", "depth", "error", "seq", "user_data"]) for f in glob.glob(os.path.join(round_dir, "*.parquet"))]
-        )
+        files = glob.glob(os.path.join(round_dir, "*.parquet"))
+        if not files:
+            return 0
+        t = pa.concat_tables([pq.read_table(f, columns=["url", "referer", "depth", "error", "seq", "user_data"]) for f in files])
         import pyarrow.compute as pc
 
         errs = t.filter(pc.is_valid(t["error"]))
@@ -732,9 +596,9 @@ class CrawlEngine:
         for rr in errs.to_pylist():
             rows.append({"url": rr["url"], "referer": rr["referer"], "depth": rr["depth"], "seq": self.next_seq, "attempt": 1, "user_data": rr["user_data"]})
             self.next_seq += 1
-        # NOTE: single retry (attempt=1); attempt>0 bypasses the
-        # exists-check at dequeue, mirroring the reference's
-        # user-driven re-enqueue pattern (examples/error_handling.rb)
+        # single retry (attempt=1); attempt>0 bypasses the exists-check
+        # at dequeue, mirroring the reference's user-driven re-enqueue
+        # pattern (examples/error_handling.rb)
         ft = frontier_table(rows, self.num_buckets, self.cfg.include_query_string_in_saved_page)
         self.spill.append_table(ft)
         return ft.num_rows
@@ -764,17 +628,3 @@ class CrawlEngine:
             "seen": self.pool.counts()["seen"],
             "metrics": self.metrics,
         }
-
-
-def _first_discovery(group: pa.Table) -> pa.Table:
-    order = np.lexsort((group["link_idx"].to_numpy(), group["parent_seq"].to_numpy()))
-    return group.take(pa.array([int(order[0])]))
-
-
-def _filter_storable(batch: pa.Table) -> pa.Table:
-    if "storable" not in batch.column_names or batch.num_rows == 0:
-        return batch
-    mask = np.asarray(batch["storable"].to_numpy(zero_copy_only=False), dtype=bool)
-    return batch.filter(pa.array(mask))
-
-

@@ -1,0 +1,232 @@
+"""Stage callables shared by the distributed (Ray Dataset) and the
+driver-side (small-round) execution paths — one implementation, two
+schedulers, so the paths cannot diverge semantically.
+
+Filter precedence replicates should_be_visited? exactly
+(reference lib/polipus.rb:375-395): robots -> whitelist -> blacklist
+-> TTL-expired(->admit) -> tracker(->drop) -> admit; the tracker probe
+doubles as the insert (enqueue marks visited, :433)."""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from ..robots import RobotsCache
+from ..urltools import canonicalize, host_hash64, host_of, url_hash64
+
+_HTML_RE = re.compile(r"^(text/html|application/xhtml\+xml)\b")
+
+FRONTIER_COLS = ["url", "host", "url_hash", "host_hash", "host_bucket", "referer", "depth", "seeded", "seq", "priority", "attempt", "user_data"]
+PAGE_NARROW = ["url", "host", "links", "depth", "seq", "code", "content_type", "error"]
+
+
+def _i64(v: int) -> int:
+    """64-bit hash -> int64 bit pattern (Arrow/parquet-friendly)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _u64col(arr) -> np.ndarray:
+    return np.asarray(arr, dtype=np.int64).view(np.uint64)
+
+
+def frontier_table(rows: list[dict], num_buckets: int, include_qs: bool = True) -> pa.Table:
+    """Frontier-schema Arrow table from row dicts with at least
+    {url, referer, depth}; fills hashes/buckets/flags."""
+    cols: dict[str, list] = {c: [] for c in FRONTIER_COLS}
+    for r in rows:
+        url = r["url"]
+        host = host_of(url)
+        cols["url"].append(url)
+        cols["host"].append(host)
+        cols["url_hash"].append(_i64(url_hash64(url, include_qs)))
+        hh = host_hash64(host)
+        cols["host_hash"].append(_i64(hh))
+        cols["host_bucket"].append(hh % num_buckets)
+        cols["referer"].append(r.get("referer", ""))
+        cols["depth"].append(r.get("depth", 0))
+        cols["seeded"].append(bool(r.get("seeded", False)))
+        cols["seq"].append(r.get("seq", 0))
+        cols["priority"].append(r.get("priority", 0))
+        cols["attempt"].append(r.get("attempt", 0))
+        cols["user_data"].append(r.get("user_data", "{}"))
+    types = {
+        "url": pa.string(),
+        "host": pa.string(),
+        "url_hash": pa.int64(),
+        "host_hash": pa.int64(),
+        "host_bucket": pa.int32(),
+        "referer": pa.string(),
+        "depth": pa.int32(),
+        "seeded": pa.bool_(),
+        "seq": pa.int64(),
+        "priority": pa.int64(),
+        "attempt": pa.int32(),
+        "user_data": pa.string(),
+    }
+    return pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
+
+
+def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, follow, skip) -> np.ndarray:
+    """should_be_visited? prefix (robots -> whitelist -> blacklist),
+    lib/polipus.rb:375-384.  Patterns match url.path."""
+    n = len(urls)
+    keep = np.ones(n, dtype=bool)
+    if robots is not None:
+        keep &= np.fromiter((robots.allowed(u, h) for u, h in zip(urls, hosts)), dtype=bool, count=n)
+    if follow or skip:
+        paths = [urlsplit(u).path for u in urls]
+        if follow:
+            keep &= np.fromiter((any(rx.search(p) for rx in follow) for p in paths), dtype=bool, count=n)
+        if skip:
+            keep &= np.fromiter((not any(rx.search(p) for rx in skip) for p in paths), dtype=bool, count=n)
+    return keep
+
+
+def compile_policy(robots_bodies: dict, cfg: CrawlConfig):
+    robots = RobotsCache(robots_bodies, str(cfg.user_agent)) if cfg.obey_robots_txt else None
+    follow = [re.compile(p) for p in cfg.follow_links_like]
+    skip = [re.compile(p) for p in cfg.skip_links_like]
+    return robots, follow, skip
+
+
+def make_prefetch_filter(robots_bodies: dict, cfg: CrawlConfig, pool, now: int):
+    """Dequeue-side re-check: policy sans tracker + storage anti-join
+    (page_exists? with seed/retry bypass and TTL re-admission)."""
+    robots, follow, skip = compile_policy(robots_bodies, cfg)
+    ttl = cfg.ttl_page
+
+    def prefetch_filter(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        keep = _policy_mask(urls, hosts, robots, follow, skip)
+        uh = _u64col(batch["url_hash"])
+        hh = _u64col(batch["host_hash"])
+        exists, ts = pool.stored_info(uh, hh)
+        expired = np.zeros(n, dtype=bool) if ttl is None else (exists & (ts >= 0) & ((now - ttl) > ts))
+        seeded = np.asarray(batch["seeded"].to_numpy(zero_copy_only=False), dtype=bool)
+        retry = np.asarray(batch["attempt"].to_numpy(zero_copy_only=False)) > 0
+        keep &= seeded | retry | ~exists | expired
+        return batch.filter(pa.array(keep))
+
+    return prefetch_filter
+
+
+def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 16, robots_bodies: dict | None = None):
+    """Pages (narrow) -> candidate link rows.  When ``robots_bodies``
+    is given, the enqueue-policy prefix (robots/whitelist/blacklist)
+    is fused into this stage so candidates arrive pre-filtered and
+    only the tracker/TTL step remains (driver-side)."""
+    aliases = set(cfg.domain_aliases)
+    inc = cfg.include_query_string_in_saved_page
+    policy = compile_policy(robots_bodies, cfg) if robots_bodies is not None else None
+
+    def link_extractor(batch: pa.Table) -> pa.Table:
+        urls, hosts, urlh, hosth, buckets, refs, depths, pseqs, lidx = [], [], [], [], [], [], [], [], []
+        rows = batch.to_pylist()
+        for r in rows:
+            if r.get("error"):
+                continue
+            if not cfg.depth_allowed(r["depth"]):
+                continue
+            if not _HTML_RE.search(r.get("content_type") or ""):
+                continue  # links parsed only from HTML-ish pages (page.rb:87,126)
+            raw_links = focus_crawl(r) if focus_crawl is not None else (r["links"] or [])
+            page_url = r["url"]
+            page_host = r["host"]
+            seen_local: set[str] = set()
+            li = 0
+            for raw in raw_links:
+                c = canonicalize(raw, page_url)
+                if c is None:
+                    continue
+                h = host_of(c)
+                if h != page_host and h not in aliases:
+                    continue  # in-domain filter (page.rb:201-204)
+                if c in seen_local:
+                    continue  # per-page Set dedup (page.rb:68)
+                seen_local.add(c)
+                urls.append(c)
+                hosts.append(h)
+                urlh.append(_i64(url_hash64(c, inc)))
+                hh = host_hash64(h)
+                hosth.append(_i64(hh))
+                buckets.append(hh % num_buckets)
+                refs.append(page_url)
+                depths.append(r["depth"] + 1)
+                pseqs.append(r["seq"])
+                lidx.append(li)
+                li += 1
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "url_hash": pa.array(urlh, pa.int64()),
+                "host_hash": pa.array(hosth, pa.int64()),
+                "host_bucket": pa.array(buckets, pa.int32()),
+                "referer": pa.array(refs, pa.string()),
+                "depth": pa.array(depths, pa.int32()),
+                "parent_seq": pa.array(pseqs, pa.int64()),
+                "link_idx": pa.array(lidx, pa.int32()),
+            }
+        )
+        if policy is not None and t.num_rows:
+            robots, follow, skip = policy
+            keep = _policy_mask(urls, hosts, robots, follow, skip)
+            t = t.filter(pa.array(keep))
+        return t
+
+    return link_extractor
+
+
+def distinct_candidates(cand: pa.Table) -> pa.Table:
+    """Intra-round distinct (A6): deterministic first discovery wins —
+    sort by (parent_seq, link_idx), keep first row per url_hash."""
+    if cand.num_rows == 0:
+        return cand
+    order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
+    cand = cand.take(pa.array(order))
+    _, first_idx = np.unique(cand["url_hash"].to_numpy(), return_index=True)
+    return cand.take(pa.array(np.sort(first_idx)))
+
+
+def tracker_admit(cand: pa.Table, pool, cfg: CrawlConfig, now: int) -> pa.Table:
+    """The tracker/TTL tail of should_be_visited?: TTL-expired rows
+    bypass the visited check (polipus.rb:387-390) but every admitted
+    row is marked visited (check_and_add doubles as the :433 insert).
+    Candidates must already be policy-filtered and distinct."""
+    n = cand.num_rows
+    if n == 0:
+        return cand
+    uh = _u64col(cand["url_hash"])
+    hh = _u64col(cand["host_hash"])
+    if cfg.ttl_page is not None:
+        exists, ts = pool.stored_info(uh, hh)
+        expired = exists & (ts >= 0) & ((now - cfg.ttl_page) > ts)
+    else:
+        expired = np.zeros(n, dtype=bool)
+    seen = pool.check_and_add(uh, hh)
+    return cand.filter(pa.array(expired | ~seen))
+
+
+def make_mark_stored(pool):
+    def mark_stored(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            pool.mark_stored(_u64col(batch["url_hash"]), _u64col(batch["host_hash"]), batch["fetched_at"].to_numpy(zero_copy_only=False))
+        return batch
+
+    return mark_stored
+
+
+def filter_storable(batch: pa.Table) -> pa.Table:
+    if "storable" not in batch.column_names or batch.num_rows == 0:
+        return batch
+    mask = np.asarray(batch["storable"].to_numpy(zero_copy_only=False), dtype=bool)
+    return batch.filter(pa.array(mask))

@@ -28,7 +28,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-_PRIME = (1 << 61) - 1
+_PRIME = (1 << 31) - 1  # Mersenne 31: products of 31-bit values fit uint64
 
 
 def _shingles(text: str, n: int = 5) -> np.ndarray:
@@ -51,12 +51,12 @@ def _minhash_params(num_perm: int, seed: int = 13):
 
 
 def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    h = (shingle_hashes % _PRIME).astype(np.object_)  # python ints: exact 128-bit products
-    sig = np.empty(len(a), dtype=np.uint64)
-    for p in range(len(a)):
-        vals = (int(a[p]) * h + int(b[p])) % _PRIME
-        sig[p] = np.uint64(min(vals))
-    return sig
+    """Fully vectorized: (P, S) universal-hash matrix min-reduced over
+    shingles.  31-bit params x 31-bit folded shingles keep every
+    product exact in uint64."""
+    h = (shingle_hashes % np.uint64(_PRIME)).astype(np.uint64)
+    prods = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_PRIME)
+    return prods.min(axis=1)
 
 
 def exact_dedup(sf_dir: str):
@@ -154,12 +154,14 @@ def verify_sorted(ds):
 
 
 def simhash64(text: str) -> int:
-    """Word-unigram 64-bit SimHash (weights 1)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.lower().split():
-        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    """Word-unigram 64-bit SimHash (weights 1), vectorized: one
+    (W, 64) bit matrix, column-summed."""
+    ws = text.lower().split()
+    if not ws:
+        return 0
+    hs = np.array([(zlib.crc32(w.encode()) << 32) | zlib.crc32(w.encode(), 777) for w in ws], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

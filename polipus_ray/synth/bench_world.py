@@ -66,7 +66,8 @@ def write_world_ray(
             if code[j] != 200 or n_eff == 0:
                 links.append([])
                 continue
-            ls = [spec.url_of((ii + k * H) % n_eff) for k in range(1, spec.out_degree + 1)]
+            stride = 1 + ((ii // H) % 64)
+            ls = [spec.url_of((ii + k * H * stride) % n_eff) for k in range(1, spec.out_degree + 1)]
             if spec.cross_mod and ii % spec.cross_mod == 0:
                 ls.append(spec.url_of((ii + 1) % n_eff))
             links.append(ls)
@@ -109,7 +110,7 @@ def write_world_ray(
     os.makedirs(out_dir, exist_ok=True)
     web_dir = os.path.join(out_dir, "web")
     ds = ray.data.range(n_pages).map_batches(build, batch_format="pyarrow", batch_size=4096)
-    ds.write_parquet(web_dir, partition_cols=["host_bucket"], arrow_parquet_args={"compression": "zstd"})
+    ds.write_parquet(web_dir, partition_cols=["host_bucket"], compression="zstd")
     with open(os.path.join(out_dir, "robots.json"), "w") as f:
         json.dump(robots_bodies(spec), f)
     with open(os.path.join(out_dir, "seeds.json"), "w") as f:

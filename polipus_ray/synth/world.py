@@ -16,7 +16,10 @@ Derivation (i = doc_id, N = row count, H = hosts, N_eff = N - N % H):
     code         = 301 if redirects on and i % redirect_mod == 0 and i < N_eff
                    else 404 if i % notfound_mod == 0   else 200
     redirect_to  = url((i + H) % N_eff)            (301 rows only)
-    links        = [url((i + k*H) % N_eff) for k in 1..out_degree]     (code 200 only)
+    stride(i)    = 1 + ((i // H) % 64)             (scatters links so BFS
+                   expands ~out_degree-fold per wave instead of walking
+                   a lattice line; stays within the host residue class)
+    links        = [url((i + k*H*stride(i)) % N_eff) for k in 1..out_degree]   (code 200 only)
                    + [url((i + 1) % N_eff)] if i % cross_mod == 0      (cross-host,
                      dropped by the in-domain filter M8)
     robots       : hosts with host_idx % 5 == 0 disallow path prefix '/p/9';
@@ -147,7 +150,8 @@ def make_web_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec(), wit
         if code[j] != 200 or n_eff == 0:
             links.append([])
             continue
-        ls = [spec.url_of((ii + k * H) % n_eff) for k in range(1, spec.out_degree + 1)]
+        stride = 1 + ((ii // H) % 64)
+        ls = [spec.url_of((ii + k * H * stride) % n_eff) for k in range(1, spec.out_degree + 1)]
         if spec.cross_mod and ii % spec.cross_mod == 0:
             ls.append(spec.url_of((ii + 1) % n_eff))
         links.append(ls)

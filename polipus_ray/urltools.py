@@ -37,6 +37,12 @@ from urllib.parse import quote_from_bytes, unquote_to_bytes, urljoin, urlsplit
 _RUBY_SAFE = b"-_.!~*'()abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789;/?:@&=+$,[]"
 _FRAGMENT_RE = re.compile(r"#[a-zA-Z0-9_-]*$")
 _QUERY_RE = re.compile(r"\?.*$", re.S)
+# fast path: absolute http(s) URL, every char in the Ruby-safe set,
+# no '%' (decode is identity), no '#' (nothing to strip), non-empty
+# path.  For such strings the full canonicalization is the identity,
+# byte-for-byte (verified in tests against the slow path).
+_FAST_RE = re.compile(r"^https?://[A-Za-z0-9._~\-]+(:[0-9]+)?/[A-Za-z0-9._~!$&'()*+,;=:@/\-]*(\?[A-Za-z0-9._~!$&'()*+,;=:@/\-]+)?$")
+_DOTSEG_RE = re.compile(r"/\.{1,2}(/|\?|$)")
 
 
 def ruby_uri_escape_roundtrip(url: str) -> str:
@@ -50,12 +56,46 @@ def canonicalize(link: str | None, base: str | None = None) -> str | None:
     """Reference ``to_absolute`` semantics. Returns None for rejects."""
     if link is None:
         return None
-    link = _FRAGMENT_RE.sub("", str(link))
+    link = str(link)
+    if _FAST_RE.match(link) and not _DOTSEG_RE.search(link):
+        return link
+    return _canonicalize_slow(link, base)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — Ruby's URI#merge applies this to absolute
+    references too; python's urljoin additionally mangles ';' params,
+    so absolute links are recomposed manually."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    if path.endswith(("/.", "/..")) and (not out or out[-1] not in ("", ".", "..")):
+        out.append("")
+    return "/".join(out)
+
+
+def _canonicalize_slow(link: str, base: str | None = None) -> str | None:
+    link = _FRAGMENT_RE.sub("", link)
     try:
         link = ruby_uri_escape_roundtrip(link)
     except (ValueError, UnicodeError):
         return None
-    absolute = urljoin(base, link) if base else link
+    p = urlsplit(link)
+    if p.scheme and p.netloc:
+        # absolute: Ruby merge keeps everything except dot segments
+        absolute = f"{p.scheme}://{p.netloc}{_remove_dot_segments(p.path)}"
+        if p.query:
+            absolute += f"?{p.query}"
+        if p.fragment:
+            absolute += f"#{p.fragment}"
+    else:
+        absolute = urljoin(base, link) if base else link
     # empty path -> "/"
     parts = urlsplit(absolute)
     if parts.scheme and parts.netloc and parts.path == "":

@@ -43,8 +43,9 @@ def check_parity(eng, sim):
     assert got == want
 
 
-def test_depth2_robots_redirects_distributed(ray_session, world_dir):
-    # small_round_threshold=0 forces the full Ray Dataset path
+def test_depth2_robots_redirects_pool_mode(ray_session, world_dir):
+    # small_round_threshold=0 forces remote execution; default mode =
+    # persistent fetch-actor pool
     wd, spec = world_dir
     cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, small_round_threshold=0)
     eng, res, sim = run_both(wd, spec, cfg)
@@ -52,10 +53,25 @@ def test_depth2_robots_redirects_distributed(ray_session, world_dir):
     assert res["seen"] == len(sim.tracker)
 
 
-def test_full_crawl_local_fast_path(ray_session, world_dir):
+def test_depth2_robots_redirects_dataset_mode(ray_session, world_dir):
+    # pure ray.data pipeline path (groupby.map_groups fetch)
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, small_round_threshold=0, fetch_mode="dataset", workers=2)
+    eng, res, sim = run_both(wd, spec, cfg)
+    check_parity(eng, sim)
+    assert res["seen"] == len(sim.tracker)
+
+
+def test_full_crawl_pure_local_engine(world_dir):
+    # use_ray=False: the whole engine runs in-process (no cluster),
+    # exercising the driver-local path end to end
     wd, spec = world_dir
     cfg = CrawlConfig(depth_limit=False, obey_robots_txt=True)
-    eng, res, sim = run_both(wd, spec, cfg)
+    run = tempfile.mkdtemp(prefix="crawllocal_")
+    eng = CrawlEngine(wd, cfg, run, use_ray=False)
+    res = eng.crawl()
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), cfg)
     check_parity(eng, sim)
     assert res["seen"] == len(sim.tracker)
 
@@ -169,3 +185,38 @@ def test_hooks_and_storable(ray_session, world_dir, tmp_path):
     pt = eng.pages_table(columns=["code"])
     assert sum(downloaded) == pt.num_rows
     assert 404 not in pt["code"].to_pylist()
+
+
+def test_focus_crawl_and_domain_aliases(ray_session, world_dir, tmp_path):
+    wd, spec = world_dir
+    # focus_crawl replaces link extraction (reference polipus.rb:316-319):
+    # follow only the first link of every page
+    cfg = CrawlConfig(depth_limit=2)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "focus"))
+    eng.focus_crawl(lambda row: (row["links"] or [])[:1])
+    eng.crawl()
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    for u, row in web.items():
+        row["links"] = (row["links"] or [])[:1]
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), cfg)
+    assert set(eng.pages_table(columns=["uuid"])["uuid"].to_pylist()) == set(sim.stored.keys())
+
+    # domain_aliases admits cross-host links (reference page.rb:201-204).
+    # seed doc 11: cross_mod page (11 % 11 == 0) with a cross-host link
+    # to doc 12 (host h12)
+    hosts = [spec.host_name(i) for i in range(spec.hosts)]
+    seeds = ["http://h11.test/p/11"]
+    cfg2 = CrawlConfig(depth_limit=1, domain_aliases=hosts)
+    eng2 = CrawlEngine(wd, cfg2, str(tmp_path / "aliases"))
+    eng2.seed(seeds)
+    eng2.crawl()
+    web2 = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim2 = simulate_crawl(web2, robots_bodies(spec), seeds, cfg2)
+    check_parity(eng2, sim2)
+    stored_hosts = {r["url"].split("/")[2] for r in eng2.pages_table(columns=["url"]).to_pylist()}
+    assert "h12.test" in stored_hosts  # cross-host link followed via alias
+    # without aliases the cross-host link is dropped
+    eng3 = CrawlEngine(wd, CrawlConfig(depth_limit=1), str(tmp_path / "noalias"))
+    eng3.seed(seeds)
+    eng3.crawl()
+    assert "h12.test" not in {r["url"].split("/")[2] for r in eng3.pages_table(columns=["url"]).to_pylist()}

@@ -60,7 +60,8 @@ def test_world_determinism_and_graph_rules():
     row = df[df.doc_id == 5].iloc[0]
     assert row.url == "http://h5.test/p/5"
     assert row.code == 200
-    assert list(row.links) == [f"http://h{5 % H}.test/p/{(5 + k * H) % n_eff}" for k in (1, 2, 3)]
+    stride = 1 + ((5 // H) % 64)
+    assert list(row.links) == [f"http://h{5 % H}.test/p/{(5 + k * H * stride) % n_eff}" for k in (1, 2, 3)]
     # 404s have no links
     assert df[df.doc_id % 37 == 0].links.map(len).eq(0).all()
     # cross-host extra link on cross_mod rows (code 200 only)

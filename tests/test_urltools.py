@@ -60,3 +60,35 @@ def test_hash64_stability():
     assert h == hash64("http://a.test/")
     assert 0 <= h < 2**64
     assert url_hash64("http://a.test/p?x=1", include_query_string=False) == url_hash64("http://a.test/p")
+
+
+def test_fast_path_matches_slow_path():
+    # the _FAST_RE fast path must be byte-identical to the full
+    # canonicalization for every string it accepts
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polipus_ray.urltools import _FAST_RE, _canonicalize_slow, canonicalize
+
+    path_chars = "ABCdef019._~!$&'()*+,;=:@/-"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sampled_from(["http", "https"]),
+        st.text(alphabet="abc019.-", min_size=1, max_size=12),
+        st.text(alphabet=path_chars, max_size=20),
+        st.one_of(st.none(), st.text(alphabet=path_chars, max_size=10)),
+    )
+    def check(scheme, host, path, query):
+        u = f"{scheme}://{host}/{path}" + (f"?{query}" if query is not None else "")
+        if _FAST_RE.match(u):
+            assert canonicalize(u, "http://base.test/x") == _canonicalize_slow(u, "http://base.test/x"), u
+
+    check()
+
+
+def test_fast_path_rejects_tricky():
+    from polipus_ray.urltools import _FAST_RE
+
+    for u in ["http://a.test/x#frag", "http://a.test/a%20b", "http://a.test", "relative/x", "http://a.test/a b"]:
+        assert not _FAST_RE.match(u), u
