@@ -44,11 +44,11 @@ def ensure_world() -> str:
     from polipus_ray.synth.bench_world import write_world_ray
     from polipus_ray.synth.world import WorldSpec
 
-    # wide-fanout spec: out_degree 8 over 64 hosts/seeds gives 8x wave
-    # growth, so most pages are fetched in a few LARGE distributed
-    # rounds (the shape a real frontier has), not a long thin tail
-    spec = WorldSpec(hosts=64, out_degree=8, num_seeds=64, redirect_mod=23)
-    write_world_ray(out, os.path.join(SF_DIR, "documents.parquet"), N_PAGES, spec=spec, num_buckets=64)
+    # wide-fanout spec: out_degree 8 with 256 hosts/seeds gives 8x wave
+    # growth AND smooth bucket->actor load (64 hosts over hash buckets
+    # skewed 6x; 256 hosts over 256 buckets averages out)
+    spec = WorldSpec(hosts=256, out_degree=8, num_seeds=256, redirect_mod=23)
+    write_world_ray(out, os.path.join(SF_DIR, "documents.parquet"), N_PAGES, spec=spec, num_buckets=256)
     return out
 
 
@@ -67,6 +67,9 @@ def bench_crawl(world_dir: str) -> dict:
         checkpoint=False,
         verify_payload=True,  # decode + phash-verify every payload (M15)
         phash_scales=3,  # multi-scale fingerprint pyramid per payload
+        # GRAFT_ORDERED=0 -> relaxed-order mode (in-actor candidate
+        # admission; the cluster-scale path — see CrawlConfig)
+        deterministic_order=os.environ.get("GRAFT_ORDERED", "1") != "0",
     )
     eng = CrawlEngine(world_dir, cfg, run_dir)
     # warm-up excluded from timing: actor spawn + web broadcast are
@@ -137,6 +140,9 @@ def run_scaling() -> dict:
     global N_PAGES
     N_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", str(max(N_PAGES, 480_000))))
     os.environ["GRAFT_WEB_PAGES"] = str(N_PAGES)
+    # scaling measures the relaxed-order (cluster-scale) mode by
+    # default; GRAFT_ORDERED=1 forces the byte-exact-order mode
+    os.environ.setdefault("GRAFT_ORDERED", "0")
     # pre-build world once so both levels time pure crawl
     import ray
 

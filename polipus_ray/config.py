@@ -79,6 +79,16 @@ class CrawlConfig:
     phash_scales: int = 1
     simulate_politeness_wall_clock: bool = False  # if True, fetcher really sleeps
     checkpoint: bool = True
+    # True (default): candidates stream through the driver for global
+    #   FIFO seq assignment — crawl order matches the reference
+    #   byte-for-byte (the ordering oracle).  False: each fetch actor
+    #   admits + spills its own candidates (tracker probe + seq
+    #   assignment in-actor, seq = (round, actor, idx) composite) —
+    #   the cluster-scale path: stored set / seen set / per-round
+    #   depth order are unchanged, only the intra-round total order
+    #   is approximate.  See BASELINE.md for the measured scaling of
+    #   both modes.
+    deterministic_order: bool = True
     # 'pool': persistent fetch-actor pool, fixed bucket->actor affinity,
     #   politeness clocks + web-bucket cache persist across rounds, link
     #   extraction fused in-actor (one barrier per round).
@@ -94,6 +104,15 @@ class CrawlConfig:
 
     def resolved_fetch_concurrency(self) -> int:
         return int(self.fetch_concurrency or self.workers)
+
+    def effective_user_agent(self) -> str:
+        """Reference samples a random UA from a list per request
+        (http.rb:84-90) and for robots (polipus.rb:133-137); we pin
+        the deterministic first entry (no RNG in the workflow, O6)."""
+        ua = self.user_agent
+        if isinstance(ua, (list, tuple)):
+            return str(ua[0]) if ua else "polipus-ray"
+        return str(ua)
 
     def depth_allowed(self, depth: int) -> bool:
         """reference lib/polipus.rb:239: expand links iff

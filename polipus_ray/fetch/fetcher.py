@@ -67,7 +67,7 @@ class Fetcher:
         self.web_dir = web_dir
         self.cfg = cfg
         self.num_buckets = num_buckets
-        self.robots = RobotsCache(robots_bodies, str(cfg.user_agent))
+        self.robots = RobotsCache(robots_bodies, cfg.effective_user_agent())
         self.pool = pool
         self.round_no = round_no
         self.now = now
@@ -256,7 +256,7 @@ class Fetcher:
         return t
 
     # -- persistent-pool round method (fetch_mode='pool') ------------------
-    def run_round_batch(self, batch: pa.Table, round_no: int, now: int, out_path: str) -> dict:
+    def run_round_batch(self, batch: pa.Table, round_no: int, now: int, out_path: str, spill_path: str | None = None, actor_id: int = 0) -> dict:
         """One actor's share of a round: prefilter+fetch (__call__),
         before_save hooks, storable filter, mark-stored, except-drop,
         parquet write, fused link extraction.  Returns counts + the
@@ -288,12 +288,50 @@ class Fetcher:
         if stored:
             pq.write_table(pages, out_path, compression="zstd")
         tm["write"] = time.perf_counter() - s
+        # narrow dedup keys returned inline: saves the driver a
+        # per-round columnar re-read of every part file
+        keys = pages.select(["url_hash", "host_hash", "seq", "fetched_at"]) if stored else None
         if self._extractor is None:
             self._extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self._robots_bodies)
         s = time.perf_counter()
         cand = self._extractor(pages.select(PAGE_NARROW)) if stored else None
         tm["extract"] = time.perf_counter() - s
-        return {"stored": stored, "errors": errors, "cand": cand, "path": out_path if stored else None, "timings": tm}
+        spill = None
+        if spill_path is not None and not self.cfg.deterministic_order and self.pool is not None and cand is not None and cand.num_rows:
+            # relaxed-order scale path: admit + spill in-actor.  Local
+            # FIFO sort -> shard check_and_add -> composite seq
+            # (round, actor, idx): per-round depth order preserved,
+            # intra-round total order approximate.
+            s = time.perf_counter()
+            order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
+            cand = cand.take(pa.array(order))
+            from ..frontier.stages import tracker_admit
+
+            cand = tracker_admit(cand, self.pool, self.cfg, now)
+            n = cand.num_rows
+            if n:
+                base = (round_no + 1) * (1 << 40) + actor_id * (1 << 28)
+                ft = pa.table(
+                    {
+                        "url": cand["url"],
+                        "host": cand["host"],
+                        "url_hash": cand["url_hash"],
+                        "host_hash": cand["host_hash"],
+                        "host_bucket": cand["host_bucket"],
+                        "referer": cand["referer"],
+                        "depth": cand["depth"],
+                        "seeded": pa.array(np.zeros(n, dtype=bool)),
+                        "seq": pa.array(base + np.arange(n), pa.int64()),
+                        "priority": pa.array(np.zeros(n, dtype=np.int64)),
+                        "attempt": pa.array(np.zeros(n, dtype=np.int32)),
+                        "user_data": pa.array(["{}"] * n, pa.string()),
+                    }
+                )
+                pq.write_table(ft, spill_path, compression="lz4")
+                spill = {"path": spill_path, "rows": n}
+            cand = None
+            tm["admit_spill"] = time.perf_counter() - s
+        return {"stored": stored, "errors": errors, "cand": cand, "spill": spill, "keys": keys, "path": out_path if stored else None, "timings": tm}
 
     def _verify_payloads(self, pages: pa.Table) -> pa.Table:
         """Decode each image payload and verify the stored perceptual

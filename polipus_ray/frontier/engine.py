@@ -2,33 +2,31 @@
 Ray Data wave-per-depth pipeline.
 
 The reference's cyclic dataflow (fetch -> extract -> enqueue -> fetch,
-lib/polipus.rb:166-264) becomes a driver-level BFS wave loop; each
-round is two short Dataset pipelines:
+lib/polipus.rb:166-264) becomes a driver-level BFS wave loop.  Default
+execution (``fetch_mode='pool'``) runs each round as ONE barrier over
+a persistent fetch-actor pool:
 
-  1. fetch+store:
-     read_parquet(active frontier parts)            [narrow columns]
-       -> groupby(host_bucket).map_groups(Fetcher, concurrency=W)
-          fused per batch: dequeue-side re-check (robots/whitelist/
-          blacklist sans tracker, polipus.rb:186,375-395; storage
-          anti-join + TTL, :404-416) -> simulated fetch with redirect
-          folding + per-host politeness (exact: one bucket = one
-          group) -> mark-stored manifest upsert
-       -> [before_save hook stages + storable filter, only when hooks
-          are registered]
-       -> write_parquet(pages/round=R)              [idempotent]
+  driver: read active frontier parts (narrow) -> scatter rows to the
+  owning actors (fixed, size-balanced bucket->actor map)
+  each actor: dequeue-side re-check (robots/whitelist/blacklist sans
+  tracker, polipus.rb:186,375-395; storage anti-join + TTL, :404-416)
+  -> simulated fetch with redirect folding + per-host politeness
+  (exact: a host's bucket lives on one actor for the whole run)
+  -> payload decode/phash verification -> mark-stored manifest upsert
+  -> parquet part write [idempotent per round] -> link extraction with
+  fused enqueue-policy filter
+  driver: candidates sorted into FIFO discovery order -> seen-shard
+  check_and_add (first-occurrence-wins = intra-round distinct A6 +
+  tracker insert in one step) -> FIFO seq assignment -> frontier spill
 
-  2. link extraction:
-     read_parquet(pages/round=R, columns=narrow)    [bytes NOT re-read]
-       -> map_batches(link_extractor + fused enqueue-policy filter)
-       -> streamed to the driver: intra-round distinct (A6, first
-          discovery wins) -> tracker/TTL admit (seen-shard
-          check_and_add) -> FIFO seq assignment -> frontier spill
+``fetch_mode='dataset'`` expresses the same round as pure ray.data
+pipelines (groupby(host_bucket).map_groups(Fetcher) -> write_parquet;
+links via read_parquet -> map_batches), sharing the identical stage
+callables; ``use_ray=False`` runs everything in-process.
 
-The web table is broadcast once per run as per-bucket plasma objects
-(ray.put) — fetch actors ray.get them zero-copy instead of re-reading
-parquet every round.  Rounds with a small active frontier skip Ray
-entirely and run the same stage callables driver-side (the BFS-tail /
-merge-small-rounds optimization).
+The web table is broadcast once per run as per-bucket plasma objects;
+fetch actors read them zero-copy and keep per-bucket caches +
+politeness clocks across every round.
 
 Termination: empty frontier (exact, replacing the reference's 30 s
 queue idle timeout).  Crawl ordering: the per-row ``seq`` column
@@ -85,7 +83,47 @@ __all__ = [
     "make_prefetch_filter",
     "make_link_extractor",
     "_policy_mask",
+    "read_pages_dir",
+    "load_tombstones",
 ]
+
+
+def load_tombstones(pages_root: str) -> set[tuple[int, int]]:
+    """Union of per-round tombstone sidecars: {(url_hash, seq)} of
+    same-round redirect-collision loser rows (see
+    CrawlEngine._dedup_round_output)."""
+    out: set[tuple[int, int]] = set()
+    for f in glob.glob(os.path.join(pages_root, "round=*", "_TOMBSTONES.json")):
+        with open(f) as fh:
+            out.update((a, b) for a, b in json.load(fh))
+    return out
+
+
+def _filter_tombstones(t: pa.Table, tombs: set[tuple[int, int]]) -> pa.Table:
+    if not tombs or t.num_rows == 0:
+        return t
+    h = t["url_hash"].to_numpy()
+    s = t["seq"].to_numpy()
+    keep = np.fromiter(((a, b) not in tombs for a, b in zip(h.tolist(), s.tolist())), dtype=bool, count=len(h))
+    return t.filter(pa.array(keep)) if not keep.all() else t
+
+
+def read_pages_dir(pages_root: str, columns: list[str] | None = None) -> pa.Table:
+    """Read a pages directory with tombstones applied — the canonical
+    way to consume crawl output driver-side."""
+    fs = sorted(glob.glob(os.path.join(pages_root, "round=*", "*.parquet")))
+    if not fs:
+        return pa.table({})
+    tombs = load_tombstones(pages_root)
+    read_cols = columns
+    if tombs and columns is not None:
+        read_cols = list(dict.fromkeys(list(columns) + ["url_hash", "seq"]))
+    t = pa.concat_tables([pq.read_table(f, columns=read_cols) for f in fs])
+    if tombs:
+        t = _filter_tombstones(t, tombs)
+        if columns is not None:
+            t = t.select(columns)
+    return t
 
 
 class CrawlEngine:
@@ -128,6 +166,7 @@ class CrawlEngine:
         self.stop_requested = False
         self._driver_fetcher: Fetcher | None = None
         self._fetch_actors: list | None = None
+        self._bucket_lut: np.ndarray | None = None
         self._web_refs: dict | None = None
         # hooks (reference builder surface, polipus.rb:283-319)
         self._on_page_downloaded: list = []
@@ -297,6 +336,8 @@ class CrawlEngine:
         local = (not self.use_ray) or (self.cfg.fetch_mode == "dataset" and 0 < active_rows <= int(self.cfg.small_round_threshold or 0))
         cand: pa.Table | None = None  # pool/local modes return candidates inline
         self._last_counts = None
+        self._last_enqueued = None  # set by relaxed-order pool rounds
+        self._last_keys = None  # narrow dedup keys from pool rounds
         if local:
             cand = self._fetch_store_local(active_paths, round_dir, r, now)
         elif self.cfg.fetch_mode == "pool":
@@ -334,12 +375,22 @@ class CrawlEngine:
                 fn(full)
 
         enqueued = 0
-        if stored_rows > 0:
+        if self._last_enqueued is not None:
+            enqueued = self._last_enqueued  # relaxed mode: admitted in-actor
+        elif stored_rows > 0:
             if cand is None:
                 cand = self._extract_candidates(round_dir, local)
-            cand = distinct_candidates(cand)
+            # intra-round distinct (A6) collapses into the tracker
+            # probe: candidates sorted into FIFO discovery order first,
+            # so the shard-side check_and_add's first-occurrence-wins
+            # IS the deterministic winner (the reference's enqueue
+            # serialization).  distinct_candidates() remains available
+            # for standalone use.
+            if cand.num_rows:
+                order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
+                cand = cand.take(pa.array(order))
             cand = tracker_admit(cand, self.pool, self.cfg, now)
-            enqueued += self._emit_frontier(cand)
+            enqueued += self._emit_frontier(cand, presorted=True)
         if self.cfg_retry_errors() > 0 and stored_rows > 0:
             enqueued += self._requeue_errors(round_dir, r)
         if self.cfg.storage == "devnull":
@@ -381,9 +432,11 @@ class CrawlEngine:
 
     def _ensure_fetch_pool(self) -> list:
         """Persistent fetch-actor pool (fetch_mode='pool'): created
-        once per run; bucket -> actor affinity is FIXED
-        (host_bucket % W) so per-host politeness clocks and cached web
-        buckets stay put across every round."""
+        once per run; bucket -> actor affinity is FIXED for the whole
+        run (per-host politeness clocks and cached web buckets stay
+        put) but BALANCED: greedy bin-packing of buckets onto actors
+        by web-table bucket size (hash collisions make naive
+        ``bucket % W`` skew ~7x — Poisson extremes)."""
         if self._fetch_actors is None:
             import ray
 
@@ -394,7 +447,24 @@ class CrawlEngine:
             kw = self._fetcher_kwargs(0, self._now(), self._ensure_web_refs())
             kw.update(before_save_hooks=self._on_before_save, focus_crawl=self._focus_crawl)
             self._fetch_actors = [A.remote(**kw) for _ in range(W)]
+            self._bucket_lut = self._balanced_bucket_lut(W)
         return self._fetch_actors
+
+    def _balanced_bucket_lut(self, W: int) -> np.ndarray:
+        """bucket -> actor lookup table: deterministic greedy
+        assignment by per-bucket web row counts (largest first onto
+        the least-loaded actor)."""
+        sizes: dict[int, int] = {}
+        for d in glob.glob(os.path.join(self.world["web_dir"], "host_bucket=*")):
+            b = int(d.split("=")[1])
+            sizes[b] = sum(pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(d, "*.parquet")))
+        lut = np.array([b % W for b in range(self.num_buckets)], dtype=np.int64)
+        loads = np.zeros(W, dtype=np.int64)
+        for b in sorted(sizes, key=lambda x: (-sizes[x], x)):
+            a = int(np.argmin(loads))
+            lut[b] = a
+            loads[a] += sizes[b]
+        return lut
 
     def _fetch_store_pool(self, active_paths: list[str], round_dir: str, r: int, now: int) -> pa.Table | None:
         """One barrier per round: scatter narrow frontier rows to the
@@ -405,18 +475,30 @@ class CrawlEngine:
         t = pa.concat_tables([pq.read_table(p) for p in active_paths])
         actors = self._ensure_fetch_pool()
         W = len(actors)
-        aid = (t["host_bucket"].to_numpy().astype(np.int64)) % W
+        aid = self._bucket_lut[t["host_bucket"].to_numpy().astype(np.int64)]
         order = np.argsort(aid, kind="stable")
         bounds = np.searchsorted(aid[order], np.arange(W + 1))
+        relaxed = not self.cfg.deterministic_order
         refs = []
         for a in range(W):
             lo, hi = bounds[a], bounds[a + 1]
             if lo == hi:
                 continue
             sub = t.take(pa.array(order[lo:hi]))
-            refs.append(actors[a].run_round_batch.remote(sub, r, now, os.path.join(round_dir, f"part-{a}.parquet")))
+            spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet") if relaxed else None
+            refs.append(actors[a].run_round_batch.remote(sub, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a))
         results = ray.get(refs)
         self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
+        ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]
+        self._last_keys = pa.concat_tables(ks) if ks else None
+        if relaxed:
+            enq = 0
+            for res in results:
+                if res.get("spill"):
+                    self.spill.register_part(res["spill"]["path"], res["spill"]["rows"])
+                    enq += res["spill"]["rows"]
+            self._last_enqueued = enq
+            return None
         cands = [res["cand"] for res in results if res["cand"] is not None and res["cand"].num_rows]
         if not cands:
             return self._empty_candidates()
@@ -431,7 +513,7 @@ class CrawlEngine:
         actors = self._ensure_fetch_pool()
         W = len(actors)
         buckets = sorted(int(d.split("=")[1]) for d in glob.glob(os.path.join(self.world["web_dir"], "host_bucket=*")))
-        refs = [actors[a].preload.remote([b for b in buckets if b % W == a]) for a in range(W)]
+        refs = [actors[a].preload.remote([b for b in buckets if self._bucket_lut[b] == a]) for a in range(W)]
         ray.get(refs)
 
     def _empty_candidates(self) -> pa.Table:
@@ -500,12 +582,13 @@ class CrawlEngine:
             return extractor(pa.table({c: pa.array([], t) for c, t in zip(PAGE_NARROW, [pa.string(), pa.string(), pa.list_(pa.string()), pa.int32(), pa.int64(), pa.int32(), pa.string(), pa.string()])}))
         return pa.concat_tables(parts)
 
-    def _emit_frontier(self, cand: pa.Table) -> int:
+    def _emit_frontier(self, cand: pa.Table, presorted: bool = False) -> int:
         """Admitted candidates -> FIFO seq -> spill parts."""
         if cand.num_rows == 0:
             return 0
-        order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
-        cand = cand.take(pa.array(order))
+        if not presorted:
+            order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
+            cand = cand.take(pa.array(order))
         n = cand.num_rows
         ft = pa.table(
             {
@@ -531,53 +614,47 @@ class CrawlEngine:
         """Within-round uuid dedup, min-seq wins.  Arises only when a
         redirect source and its target are fetched in the same round:
         the reference's FIFO serialization makes the later message hit
-        ``page_exists?`` (polipus.rb:209-213); concurrent groups can
-        both store, so the deterministic loser rows are dropped here
-        (cheap: narrow uuid/seq scan; rewrite only affected files).
-        Returns the number of rows removed."""
+        ``page_exists?`` (polipus.rb:209-213); concurrent actors can
+        both store.  Loser rows are recorded as a TOMBSTONES sidecar
+        (applied by every pages reader) instead of rewriting parquet —
+        a rewrite would re-compress the round's payload bytes.
+        Returns the number of rows tombstoned."""
         if not page_files:
             return 0
-        import collections
-
-        import pyarrow.compute as pc
-
-        narrow = []
-        for f in page_files:
-            t = pq.read_table(f, columns=["uuid", "seq"])
-            narrow.append((f, t))
-        best: dict[str, int] = {}
-        counts: collections.Counter = collections.Counter()
-        for _, t in narrow:
-            for u, s in zip(t["uuid"].to_pylist(), t["seq"].to_pylist()):
-                counts[u] += 1
-                if u not in best or s < best[u]:
-                    best[u] = s
-        dup_uuids = {u for u, c in counts.items() if c > 1}
-        if not dup_uuids:
+        # vectorized dup detection on the int64 url_hash (same key
+        # space as uuid — both derive from the canonical URL); pool
+        # rounds hand the keys over inline, other paths re-read them
+        if self._last_keys is not None:
+            t = self._last_keys
+        else:
+            cols = ["url_hash", "host_hash", "seq", "fetched_at"]
+            t = pa.concat_tables([pq.read_table(f, columns=cols) for f in page_files])
+        if t.num_rows == 0:
             return 0
-        removed = 0
-        winners_marked = []
-        for f, t in narrow:
-            if not any(u in dup_uuids for u in t["uuid"].to_pylist()):
-                continue
-            full = pq.read_table(f)
-            keep = [u not in dup_uuids or s == best[u] for u, s in zip(full["uuid"].to_pylist(), full["seq"].to_pylist())]
-            kept = full.filter(pa.array(keep))
-            removed += full.num_rows - kept.num_rows
-            pq.write_table(kept, f, compression="zstd")
-            win = kept.filter(pc.is_in(kept["uuid"], value_set=pa.array(list(dup_uuids))))
-            if win.num_rows:
-                winners_marked.append(win)
+        h = t["url_hash"].to_numpy()
+        s = t["seq"].to_numpy()
+        uniq, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        if (cnt <= 1).all():
+            return 0
+        best = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(best, inv, s)
+        is_dup = cnt[inv] > 1
+        loser = is_dup & (s != best[inv])
+        if not loser.any():
+            return 0
+        winner = is_dup & (s == best[inv])
+        round_dir = os.path.dirname(page_files[0])
+        with open(os.path.join(round_dir, "_TOMBSTONES.json"), "w") as f:
+            json.dump([[int(a), int(b)] for a, b in zip(h[loser].tolist(), s[loser].tolist())], f)
         # re-assert winners' fetched_at in the stored manifest (losers
         # may have overwritten it via mark_stored)
         if self.cfg.storage != "devnull":
-            for win in winners_marked:
-                self.pool.mark_stored(
-                    _u64col(win["url_hash"]),
-                    _u64col(win["host_hash"]),
-                    win["fetched_at"].to_numpy(zero_copy_only=False),
-                )
-        return removed
+            self.pool.mark_stored(
+                h[winner].astype(np.int64).view(np.uint64),
+                t["host_hash"].to_numpy()[winner].astype(np.int64).view(np.uint64),
+                t["fetched_at"].to_numpy()[winner],
+            )
+        return int(loser.sum())
 
     def cfg_retry_errors(self) -> int:
         return int(getattr(self.cfg, "retry_errors", 0) or 0)
@@ -608,15 +685,25 @@ class CrawlEngine:
         return sorted(glob.glob(os.path.join(self.pages_root, "round=*", "*.parquet")))
 
     def pages_table(self, columns: list[str] | None = None) -> pa.Table:
-        fs = self.pages_files()
-        if not fs:
-            return pa.table({})
-        return pa.concat_tables([pq.read_table(f, columns=columns) for f in fs])
+        return read_pages_dir(self.pages_root, columns)
 
     def pages_dataset(self, columns: list[str] | None = None):
         import ray.data
 
-        return ray.data.read_parquet(self.pages_root, columns=columns)
+        tombs = load_tombstones(self.pages_root)
+        read_cols = columns
+        if tombs and columns is not None:
+            read_cols = list(dict.fromkeys(list(columns) + ["url_hash", "seq"]))
+        ds = ray.data.read_parquet(self.pages_root, columns=read_cols)
+        if tombs:
+            want = list(columns) if columns is not None else None
+
+            def drop_tombs(batch: pa.Table) -> pa.Table:
+                batch = _filter_tombstones(batch, tombs)
+                return batch.select(want) if want is not None else batch
+
+            ds = ds.map_batches(drop_tombs, batch_format="pyarrow")
+        return ds
 
     def summary(self) -> dict:
         stored = sum(m["stored"] for m in self.metrics)

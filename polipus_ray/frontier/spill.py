@@ -81,6 +81,15 @@ class FrontierSpill:
             except OSError:
                 pass
 
+    def register_part(self, path: str, rows: int) -> None:
+        """Adopt a part file written elsewhere (e.g. by a fetch actor
+        in relaxed-order mode)."""
+        if rows <= 0:
+            return
+        self.parts.append({"path": path, "rows": rows, "part_id": self._next_part})
+        self._next_part += 1
+        self._enforce()
+
     # -- activate (dequeue side) -----------------------------------------
     def take_active(self, limit_rows: int | None = None) -> tuple[list[str], int]:
         """Pop the oldest parts covering up to limit_rows (at least one

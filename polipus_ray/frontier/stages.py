@@ -88,7 +88,7 @@ def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, 
 
 
 def compile_policy(robots_bodies: dict, cfg: CrawlConfig):
-    robots = RobotsCache(robots_bodies, str(cfg.user_agent)) if cfg.obey_robots_txt else None
+    robots = RobotsCache(robots_bodies, cfg.effective_user_agent()) if cfg.obey_robots_txt else None
     follow = [re.compile(p) for p in cfg.follow_links_like]
     skip = [re.compile(p) for p in cfg.skip_links_like]
     return robots, follow, skip

@@ -60,7 +60,7 @@ def simulate_crawl(
     """web: canonical url -> row dict with keys
     (code, links, content_type, redirect_to, caption, doc_id)."""
     inc_qs = cfg.include_query_string_in_saved_page
-    robots = RobotsCache(robots_bodies, str(cfg.user_agent)) if cfg.obey_robots_txt else None
+    robots = RobotsCache(robots_bodies, cfg.effective_user_agent()) if cfg.obey_robots_txt else None
     follow = [re.compile(p) for p in cfg.follow_links_like]
     skip = [re.compile(p) for p in cfg.skip_links_like]
     tracker: set[str] = set()

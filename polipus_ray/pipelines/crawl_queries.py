@@ -50,12 +50,9 @@ def crawl_bfs_depth2(sf_dir: str) -> pa.Table:
     reachability with min-depth semantics."""
     cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, checkpoint=False)
     eng = _crawled_pages(sf_dir, cfg, "bfs2")
-    import glob
+    from ..frontier.engine import read_pages_dir
 
-    import pyarrow.parquet as pq
-
-    fs = sorted(glob.glob(os.path.join(eng.pages_root, "round=*", "*.parquet")))
-    t = pa.concat_tables([pq.read_table(f, columns=["uuid", "url", "depth", "code"]) for f in fs])
+    t = read_pages_dir(eng.pages_root, columns=["uuid", "url", "depth", "code"])
     return t.sort_by("url")
 
 
@@ -138,7 +135,7 @@ def crawl_robots_filter(sf_dir: str):
     robots_bodies = world["robots"]
 
     def stage(batch: pa.Table) -> pa.Table:
-        robots = RobotsCache(robots_bodies, str(cfg.user_agent))
+        robots = RobotsCache(robots_bodies, cfg.effective_user_agent())
         keep = _policy_mask(batch["url"].to_pylist(), batch["host"].to_pylist(), robots, [], [])
         return pa.table({"doc_id": batch["doc_id"], "url": batch["url"]}).filter(pa.array(keep))
 

@@ -43,37 +43,44 @@ class CuckooFilter:
         self.max_kicks = max_kicks
         self.count = 0
 
-    # -- key decomposition ------------------------------------------------
+    # -- key decomposition (plain-int: the single-key hot path) -----------
     def _fp(self, h: int) -> int:
         fp = (h >> 48) & 0xFFFF
         return fp if fp != 0 else 1
 
     def _i1(self, h: int) -> int:
-        return int(np.uint64(h) & self.mask)
+        return h & (self.nbuckets - 1)
 
     def _alt(self, i: int, fp: int) -> int:
-        return int((np.uint64(i) ^ (np.uint64(fp) * _MIX)) & self.mask)
+        # fp * MIX < 2^48: no uint64 wrap -> identical to the
+        # vectorized contains_many computation
+        return (i ^ (fp * 0x5BD1E995)) & (self.nbuckets - 1)
 
     # -- single-key ops ---------------------------------------------------
     def contains(self, h: int) -> bool:
         fp = self._fp(h)
         i1 = self._i1(h)
-        if fp in self.table[i1]:
+        t = self.table
+        if t[i1, 0] == fp or t[i1, 1] == fp or t[i1, 2] == fp or t[i1, 3] == fp:
             return True
-        return fp in self.table[self._alt(i1, fp)]
+        i2 = self._alt(i1, fp)
+        return bool(t[i2, 0] == fp or t[i2, 1] == fp or t[i2, 2] == fp or t[i2, 3] == fp)
 
     def add(self, h: int) -> bool:
-        """Insert; returns False if the filter is full (kick limit)."""
+        """Insert; returns False if the filter is full (kick limit).
+        Hot path: manual slot scan (numpy array-op temporaries cost
+        ~5 us/insert; this is ~1 us — the frontier does one insert per
+        unique URL ever discovered)."""
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._alt(i1, fp)
+        t = self.table
         for i in (i1, i2):
-            row = self.table[i]
-            empty = np.flatnonzero(row == 0)
-            if empty.size:
-                row[empty[0]] = fp
-                self.count += 1
-                return True
+            for s in range(_SLOTS):
+                if t[i, s] == 0:
+                    t[i, s] = fp
+                    self.count += 1
+                    return True
         # evict: deterministic walk seeded by the key (64-bit LCG)
         i = i1 if (h & 1) == 0 else i2
         cur = fp
@@ -81,14 +88,13 @@ class CuckooFilter:
         for _ in range(self.max_kicks):
             state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
             slot = (state >> 62) & (_SLOTS - 1)
-            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            cur, t[i, slot] = int(t[i, slot]), cur
             i = self._alt(i, cur)
-            row = self.table[i]
-            empty = np.flatnonzero(row == 0)
-            if empty.size:
-                row[empty[0]] = cur
-                self.count += 1
-                return True
+            for s in range(_SLOTS):
+                if t[i, s] == 0:
+                    t[i, s] = cur
+                    self.count += 1
+                    return True
         return False  # full — caller should have sized capacity up
 
     def remove(self, h: int) -> bool:

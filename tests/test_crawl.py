@@ -220,3 +220,70 @@ def test_focus_crawl_and_domain_aliases(ray_session, world_dir, tmp_path):
     eng3.seed(seeds)
     eng3.crawl()
     assert "h12.test" not in {r["url"].split("/")[2] for r in eng3.pages_table(columns=["url"]).to_pylist()}
+
+
+def test_plugin_protocol(ray_session, world_dir, tmp_path):
+    from polipus_ray.ext import Plugin, SleeperPlugin
+
+    wd, spec = world_dir
+    calls = []
+
+    class Probe(Plugin):
+        def on_crawl_start(self, engine):
+            calls.append("start")
+
+        def on_message_received(self, engine):
+            calls.append("recv")
+
+        def on_message_processed(self, engine):
+            calls.append("done")
+
+        def on_crawl_end(self, engine):
+            calls.append("end")
+
+    cfg = CrawlConfig(depth_limit=1)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    eng.plugins.append(Probe())
+    eng.plugins.append(SleeperPlugin(0.25))
+    for p in eng.plugins:
+        p.on_initialize(eng)
+    res = eng.crawl()
+    assert calls[0] == "start" and calls[-1] == "end"
+    assert calls.count("recv") == res["rounds"] == calls.count("done")
+    # SleeperPlugin raised the politeness delay
+    assert eng.cfg.politeness_default_delay == 0.25
+    # politeness delay shows in per-host virtual fetched_at spacing
+    pt = eng.pages_table(columns=["host", "fetched_at", "round"]).to_pylist()
+    import collections
+
+    by = collections.defaultdict(list)
+    for r in pt:
+        by[(r["host"], r["round"])].append(r["fetched_at"])
+    gaps_ok = all(
+        all(b - a >= 0 for a, b in zip(sorted(v), sorted(v)[1:]))
+        for v in by.values()
+        if len(v) > 1
+    )
+    assert gaps_ok
+
+
+def test_relaxed_order_mode_set_parity(ray_session, world_dir, tmp_path):
+    # deterministic_order=False: in-actor candidate admission — stored
+    # uuid set, tracker set and per-URL depth must still match the
+    # oracle; only the intra-round total order is approximate
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=False, obey_robots_txt=True, deterministic_order=False, small_round_threshold=0)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "relaxed"))
+    res = eng.crawl()
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), CrawlConfig(depth_limit=False, obey_robots_txt=True))
+    pt = eng.pages_table(columns=["uuid", "url", "depth", "seq", "round"])
+    assert set(pt["uuid"].to_pylist()) == set(sim.stored.keys())
+    assert res["seen"] == len(sim.tracker)
+    got_depth = {r["uuid"]: r["depth"] for r in pt.to_pylist()}
+    want_depth = {u: p.depth for u, p in sim.stored.items()}
+    assert got_depth == want_depth
+    # seq must still be monotone in round (wave/depth order preserved)
+    rows = sorted(pt.to_pylist(), key=lambda r: r["seq"])
+    rounds = [r["round"] for r in rows]
+    assert rounds == sorted(rounds)
