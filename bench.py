@@ -37,7 +37,7 @@ WORLD_ROOT = "/tmp/polipus_ray_bench"
 def ensure_world() -> str:
     import ray
 
-    key = f"{os.path.basename(os.path.abspath(SF_DIR))}-{N_PAGES}"
+    key = f"{os.path.basename(os.path.abspath(SF_DIR))}-{N_PAGES}-v2"  # v2: base_href column
     out = os.path.join(WORLD_ROOT, key)
     if os.path.exists(os.path.join(out, "world.json")):
         return out

@@ -43,9 +43,9 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..robots import RobotsCache
-from ..urltools import host_hash64, host_of, page_uuid, url_hash64
+from ..urltools import canonicalize, host_hash64, host_of, page_uuid, url_hash64
 
-_FETCH_COLUMNS = ["doc_id", "url", "code", "content_type", "redirect_to", "caption", "links", "bytes", "w", "h", "fmt", "phash"]
+_FETCH_COLUMNS = ["doc_id", "url", "code", "content_type", "redirect_to", "caption", "links", "bytes", "w", "h", "fmt", "phash", "base_href"]
 
 
 class Fetcher:
@@ -166,6 +166,10 @@ class Fetcher:
                     break
                 t, i, code, rt = found
                 hops.append(cur)
+                if rt:
+                    # Location may be relative (http.rb:167): resolve
+                    # against the current URL before the host gate
+                    rt = canonicalize(rt, cur)
                 if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= self.cfg.redirect_limit:
                     cur = rt
                     hit = (t, i)
@@ -198,6 +202,7 @@ class Fetcher:
                     fmt=None,
                     phash=None,
                     doc_id=None,
+                    base_href=None,
                     error="connection failed",
                     fetched_at=-1,
                 )
@@ -216,7 +221,7 @@ class Fetcher:
             out.append(rec)
 
         # payload columns via batched take per bucket table (vectorized copy)
-        payload_cols = ["caption", "links", "content_type", "bytes", "w", "h", "fmt", "phash", "doc_id"]
+        payload_cols = ["caption", "links", "content_type", "bytes", "w", "h", "fmt", "phash", "doc_id", "base_href"]
         by_table: dict[int, tuple[pa.Table, list[int], list[int]]] = {}
         for out_idx, t, i in finals:
             key = id(t)
@@ -399,6 +404,7 @@ class Fetcher:
                 ("seq", pa.int64()),
                 ("round", pa.int32()),
                 ("doc_id", pa.int64()),
+                ("base_href", pa.string()),
                 ("storable", pa.bool_()),
             ]
         )

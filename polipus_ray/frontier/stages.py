@@ -22,7 +22,7 @@ from ..urltools import canonicalize, host_hash64, host_of, url_hash64
 _HTML_RE = re.compile(r"^(text/html|application/xhtml\+xml)\b")
 
 FRONTIER_COLS = ["url", "host", "url_hash", "host_hash", "host_bucket", "referer", "depth", "seeded", "seq", "priority", "attempt", "user_data"]
-PAGE_NARROW = ["url", "host", "links", "depth", "seq", "code", "content_type", "error"]
+PAGE_NARROW = ["url", "host", "links", "depth", "seq", "code", "content_type", "error", "base_href"]
 
 
 def _i64(v: int) -> int:
@@ -141,10 +141,11 @@ def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 1
             raw_links = focus_crawl(r) if focus_crawl is not None else (r["links"] or [])
             page_url = r["url"]
             page_host = r["host"]
+            resolve_base = r.get("base_href") or page_url  # <base href> override (M7, page.rb:157-165)
             seen_local: set[str] = set()
             li = 0
             for raw in raw_links:
-                c = canonicalize(raw, page_url)
+                c = canonicalize(raw, resolve_base)
                 if c is None:
                     continue
                 h = host_of(c)

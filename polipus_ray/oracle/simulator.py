@@ -36,6 +36,7 @@ class SimPage:
     links: list[str] = field(default_factory=list)
     content_type: str = ""
     aliases: list[str] = field(default_factory=list)
+    base_href: str | None = None
     error: str | None = None
     fetched_at: int | None = None
     doc_id: int | None = None
@@ -124,6 +125,8 @@ def simulate_crawl(
                 return SimPage(url=msg.url, referer=msg.referer, depth=msg.depth, seeded=msg.seeded, error="connection failed", fetched_at=None)
             hops.append(url)
             rt = row.get("redirect_to")
+            if rt:
+                rt = canonicalize(rt, url)  # relative Location (http.rb:167)
             # follow while: 3xx + location + same host + under limit;
             # a cross-host or over-limit redirect page is itself the final
             # page (http.rb:161-182, 276-278)
@@ -143,6 +146,7 @@ def simulate_crawl(
             links=list(row.get("links") or []),
             content_type=row.get("content_type", ""),
             aliases=hops[:-1],
+            base_href=row.get("base_href"),
             fetched_at=clock[0],
             doc_id=row.get("doc_id"),
         )
@@ -151,8 +155,9 @@ def simulate_crawl(
         # canonicalize, in-domain filter, dedup preserving order (page.rb:66-78)
         out, seen_local = [], set()
         ph = host_of(page.url)
+        base = page.base_href or page.url
         for raw in page.links:
-            c = canonicalize(raw, page.url)
+            c = canonicalize(raw, base)
             if c is None:
                 continue
             if host_of(c) != ph and host_of(c) not in cfg.domain_aliases:
@@ -191,6 +196,6 @@ def simulate_crawl(
 
 def web_table_to_dict(table) -> dict[str, dict]:
     """Arrow web table -> {url: row dict} for the simulator."""
-    cols = ["url", "code", "links", "content_type", "redirect_to", "caption", "doc_id"]
+    cols = ["url", "code", "links", "content_type", "redirect_to", "caption", "doc_id", "base_href"]
     d = table.select([c for c in cols if c in table.column_names]).to_pylist()
     return {r["url"]: r for r in d}

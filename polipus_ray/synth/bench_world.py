@@ -82,13 +82,14 @@ def write_world_ray(
             "code": pa.array(code, pa.int32()),
             "content_type": pa.array(["text/html"] * n, pa.string()),
             "redirect_to": pa.array(redirect_to, pa.string()),
+            "base_href": pa.array([None] * n, pa.string()),
         }
         if with_images:
             blobs, ws, hs, fmts, phs = [], [], [], [], []
             for ii in ids:
                 ii = int(ii)
                 px = _pixels_for(spec, ii)
-                fmt = "qjpg" if ii % 4 == 0 else "raw"
+                fmt = "jpeg" if ii % 4 == 0 else "png"
                 data = encode_image(px, fmt)
                 dec, w, h, _ = decode_image(data)
                 blobs.append(data)

@@ -34,13 +34,18 @@ _HDR = 12  # magic4 + fmt4 + w2 + h2
 _QSTEP = 4  # qjpg quantization step -> PSNR ~42.7 dB
 
 
-def encode_image(pixels: np.ndarray, fmt: str = "raw") -> bytes:
-    """pixels: (h, w, 3) uint8."""
+_LOSSLESS = {"png", "raw"}  # "png"/"jpeg" are the canonical labels;
+_LOSSY = {"jpeg", "qjpg"}  # "raw"/"qjpg" kept as aliases
+
+
+def encode_image(pixels: np.ndarray, fmt: str = "png") -> bytes:
+    """pixels: (h, w, 3) uint8.  fmt 'png' = lossless container,
+    'jpeg' = simulated-lossy (quantized)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    if fmt == "qjpg":
+    if fmt in _LOSSY:
         payload = ((pixels // _QSTEP) * _QSTEP).astype(np.uint8).tobytes()
-    elif fmt == "raw":
+    elif fmt in _LOSSLESS:
         payload = pixels.tobytes()
     else:
         raise NotImplementedError(f"image format {fmt!r} (real codecs not available in this container)")

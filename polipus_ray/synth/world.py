@@ -71,6 +71,25 @@ class WorldSpec:
     img_base: int = 24
     caption_len: int = 200
     num_seeds: int = 4
+    # --- "messy web" options (FIXTURES.md quirks; pytest worlds) ---------
+    # links written as they'd appear in HTML: rotating variants of the
+    # same canonical target (relative path, #fragment, %-encoded char,
+    # duplicate) — exercises M3 canonicalization + per-page Set dedup
+    messy_links: bool = False
+    # rows with i % base_href_mod == 3 carry a <base href> override and
+    # links relative to it (M7); 0 = off
+    base_href_mod: int = 0
+    # residue class (mod hosts) hosting a forced 7-hop redirect chain
+    # (> redirect_limit, http.rb:10); -1 = off
+    long_chain_class: int = -1
+    # i % cross_redirect_mod == 1 -> 301 to a DIFFERENT host (not
+    # followed, http.rb:276-278); 0 = off
+    cross_redirect_mod: int = 0
+    # i % relative_redirect_mod == 2 -> Location written RELATIVE
+    # (http.rb:167); 0 = off
+    relative_redirect_mod: int = 0
+    # append a non-ASCII suffix to captions of i % 7 == 0 rows
+    unicode_captions: bool = False
 
     def host_name(self, idx: int) -> str:
         return f"h{idx}.test"
@@ -133,25 +152,71 @@ def make_web_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec(), wit
     hosts = [spec.host_name(int(j)) for j in host_idx]
     urls = [spec.url_of(int(x)) for x in i]
     captions = [t[: spec.caption_len] for t in texts]
+    if spec.unicode_captions:
+        captions = [c + " — π≥4·λ" if int(x) % 7 == 0 else c for c, x in zip(captions, i)]
 
     code = np.full(n, 200, dtype=np.int32)
     if spec.notfound_mod:
         code[i % spec.notfound_mod == 0] = 404
-    redirect_to = [None] * n
+    redirect_to: list[str | None] = [None] * n
     if spec.redirect_mod:
         is_r = (i % spec.redirect_mod == 0) & (i < n_eff)
         code[is_r] = 301
         for j in np.flatnonzero(is_r):
             redirect_to[j] = spec.url_of(int((i[j] + H) % n_eff))
+    if spec.cross_redirect_mod:
+        for j in np.flatnonzero((i % spec.cross_redirect_mod == 1) & (i < n_eff)):
+            ii = int(i[j])
+            code[j] = 301
+            redirect_to[j] = spec.url_of((ii + 1) % n_eff)  # different host class
+    if spec.relative_redirect_mod:
+        for j in np.flatnonzero((i % spec.relative_redirect_mod == 2) & (i < n_eff) & (code == 301)):
+            # rewrite Location as a relative path (http.rb:167)
+            redirect_to[j] = "/p/%d" % ((int(i[j]) + H) % n_eff)
+    if spec.long_chain_class >= 0 and n_eff > 8 * H:
+        # forced 7-hop same-host redirect chain: exceeds redirect_limit 5
+        for k in range(7):
+            ii = spec.long_chain_class + k * H
+            j = np.flatnonzero(i == ii)
+            if j.size:
+                code[j[0]] = 301
+                redirect_to[j[0]] = spec.url_of((ii + H) % n_eff)
+
+    def link_variants(ii: int, targets: list[int]) -> list[str]:
+        """Write links the way HTML would carry them; every variant
+        canonicalizes back to the clean target URL."""
+        out = []
+        for li, tt in enumerate(targets):
+            u = spec.url_of(tt)
+            v = (ii + li) % 5 if spec.messy_links else 0
+            if v == 1:
+                out.append(f"/p/{tt}")  # absolute-path relative
+            elif v == 2:
+                out.append(u + "#frag_1")  # simple fragment (stripped)
+            elif v == 3:
+                out.append(u.replace("/p/", "/%70/", 1))  # %70 -> 'p'
+            elif v == 4 and out:
+                out.append(out[-1])  # duplicate (per-page Set dedup)
+                out.append(u)
+            else:
+                out.append(u)
+        return out
 
     links: list[list[str]] = []
+    base_href: list[str | None] = [None] * n
     for j in range(n):
         ii = int(i[j])
         if code[j] != 200 or n_eff == 0:
             links.append([])
             continue
         stride = 1 + ((ii // H) % 64)
-        ls = [spec.url_of((ii + k * H * stride) % n_eff) for k in range(1, spec.out_degree + 1)]
+        targets = [(ii + k * H * stride) % n_eff for k in range(1, spec.out_degree + 1)]
+        if spec.base_href_mod and ii % spec.base_href_mod == 3:
+            # base override: links written relative to <base href> (M7)
+            base_href[j] = f"http://{hosts[j]}/p/"
+            ls = [str(t) for t in targets]
+        else:
+            ls = link_variants(ii, targets)
         if spec.cross_mod and ii % spec.cross_mod == 0:
             ls.append(spec.url_of((ii + 1) % n_eff))
         links.append(ls)
@@ -167,6 +232,7 @@ def make_web_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec(), wit
         "code": pa.array(code, pa.int32()),
         "content_type": pa.array(["text/html"] * n, pa.string()),
         "redirect_to": pa.array(redirect_to, pa.string()),
+        "base_href": pa.array(base_href, pa.string()),
     }
 
     if with_images:
@@ -174,7 +240,7 @@ def make_web_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec(), wit
         for j in range(n):
             ii = int(i[j])
             px = _pixels_for(spec, ii)
-            fmt = "qjpg" if ii % 4 == 0 else "raw"
+            fmt = "jpeg" if ii % 4 == 0 else "png"
             data = encode_image(px, fmt)
             dec, w, h, _ = decode_image(data)
             image_id.append(f"img-{ii}")

@@ -287,3 +287,40 @@ def test_relaxed_order_mode_set_parity(ray_session, world_dir, tmp_path):
     rows = sorted(pt.to_pylist(), key=lambda r: r["seq"])
     rounds = [r["round"] for r in rows]
     assert rounds == sorted(rounds)
+
+
+def test_messy_world_full_parity(ray_session, tmp_path):
+    # FIXTURES.md quirks world: relative/fragment/%-encoded/duplicate
+    # links, <base href> overrides, >5-hop redirect chain, cross-host
+    # redirect, relative Location, unicode captions — full byte-parity
+    # with the oracle simulator
+    spec = WorldSpec(
+        redirect_mod=23,
+        messy_links=True,
+        base_href_mod=17,
+        long_chain_class=7,
+        cross_redirect_mod=41,
+        relative_redirect_mod=3,
+        unicode_captions=True,
+    )
+    wd = str(tmp_path / "messy")
+    write_world(wd, DOCS, spec)
+    cfg = CrawlConfig(depth_limit=False, obey_robots_txt=True)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    eng.crawl()
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), cfg)
+    check_parity(eng, sim)
+    # the quirks actually occurred
+    t = make_web_table(DOCS, spec, with_images=False)
+    raw_links = [l for ls in t["links"].to_pylist() for l in (ls or [])]
+    assert any(l.startswith("/p/") for l in raw_links)  # relative
+    assert any("#frag" in l for l in raw_links)  # fragment
+    assert any("%70" in l for l in raw_links)  # percent-encoded
+    assert any(b for b in t["base_href"].to_pylist())  # base hrefs
+    assert any(r and r.startswith("/p/") for r in t["redirect_to"].to_pylist())  # relative Location
+    # long chain: the page at the chain head resolves to a redirect
+    # page stored at the hop limit (over-limit chain)
+    caps = eng.pages_table(columns=["caption", "code"]).to_pylist()
+    assert any("π" in (r["caption"] or "") for r in caps)  # unicode round-trip
+    assert any(r["code"] == 301 for r in caps)  # unfollowable redirect stored
