@@ -24,3 +24,28 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def crawler(job_name: str = "polipus", urls=(), *, world_dir: str, run_dir: str | None = None, configure=None, **options):
+    """One-call crawl API mirroring ``Polipus.crawler(job, urls, opts)
+    { |c| ... }`` (reference lib/polipus.rb:18-20): build the engine,
+    apply the configure callback (hook registration), run the crawl,
+    return the engine.
+
+    >>> eng = crawler("job", ["http://h0.test/p/0"], world_dir=wd,
+    ...               depth_limit=2, configure=lambda c: c.on_page_downloaded(fn))
+    """
+    import tempfile
+
+    from .config import CrawlConfig
+    from .frontier.engine import CrawlEngine
+
+    cfg = CrawlConfig(**options)
+    run_dir = run_dir or tempfile.mkdtemp(prefix=f"polipus_ray_{job_name}_")
+    eng = CrawlEngine(world_dir, cfg, run_dir)
+    if configure is not None:
+        configure(eng)
+    if urls:
+        eng.seed(list(urls))
+    eng.crawl()
+    return eng

@@ -272,6 +272,25 @@ class Fetcher:
         self.round_no = round_no
         self.now = now
         tm: dict[str, float] = {}
+        deferred = None
+        cap = int(self.cfg.max_urls_per_host_per_round or 0)
+        if cap > 0 and batch.num_rows:
+            # hot-host cap (SURVEY.md §4 skew row): at most `cap` URLs
+            # per host per round; the rest defer to the next round with
+            # their original seq (FIFO position preserved)
+            order = np.lexsort((batch["seq"].to_numpy(), batch["priority"].to_numpy()))
+            hosts = batch["host"].to_pylist()
+            count: dict[str, int] = {}
+            keep = np.zeros(batch.num_rows, dtype=bool)
+            for oi in order:
+                h_ = hosts[oi]
+                c = count.get(h_, 0)
+                if c < cap:
+                    keep[oi] = True
+                count[h_] = c + 1
+            if not keep.all():
+                deferred = batch.filter(pa.array(~keep))
+                batch = batch.filter(pa.array(keep))
         s = time.perf_counter()
         pages = self(batch)
         tm["fetch"] = time.perf_counter() - s
@@ -336,7 +355,16 @@ class Fetcher:
                 spill = {"path": spill_path, "rows": n}
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
-        return {"stored": stored, "errors": errors, "cand": cand, "spill": spill, "keys": keys, "path": out_path if stored else None, "timings": tm}
+        return {
+            "stored": stored,
+            "errors": errors,
+            "cand": cand,
+            "spill": spill,
+            "keys": keys,
+            "deferred": deferred,
+            "path": out_path if stored else None,
+            "timings": tm,
+        }
 
     def _verify_payloads(self, pages: pa.Table) -> pa.Table:
         """Decode each image payload and verify the stored perceptual

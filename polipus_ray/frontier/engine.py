@@ -491,6 +491,11 @@ class CrawlEngine:
         self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
         ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]
         self._last_keys = pa.concat_tables(ks) if ks else None
+        # hot-host-cap deferrals rejoin the frontier (original seq kept)
+        for r_ in results:
+            d = r_.get("deferred")
+            if d is not None and d.num_rows:
+                self.spill.append_table(d)
         if relaxed:
             enq = 0
             for res in results:
@@ -565,6 +570,8 @@ class CrawlEngine:
             self._driver_fetcher = Fetcher(**kw)
         res = self._driver_fetcher.run_round_batch(t, r, now, os.path.join(round_dir, "part-0.parquet"))
         self._last_counts = (res["stored"], res["errors"])
+        if res.get("deferred") is not None and res["deferred"].num_rows:
+            self.spill.append_table(res["deferred"])
         return res["cand"] if res["cand"] is not None else self._empty_candidates()
 
     # -- candidates --------------------------------------------------------

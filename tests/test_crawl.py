@@ -324,3 +324,40 @@ def test_messy_world_full_parity(ray_session, tmp_path):
     caps = eng.pages_table(columns=["caption", "code"]).to_pylist()
     assert any("π" in (r["caption"] or "") for r in caps)  # unicode round-trip
     assert any(r["code"] == 301 for r in caps)  # unfollowable redirect stored
+
+
+def test_hot_host_cap(ray_session, world_dir, tmp_path):
+    # max_urls_per_host_per_round bounds per-round per-host load (the
+    # straggler/skew cap); reachable SET is unchanged, scheduling shifts
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=False, obey_robots_txt=True, max_urls_per_host_per_round=2, small_round_threshold=0)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "capped"))
+    res = eng.crawl(max_rounds=200)
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), CrawlConfig(depth_limit=False, obey_robots_txt=True))
+    pt = eng.pages_table(columns=["uuid", "host", "round", "error"]).to_pylist()
+    assert {r["uuid"] for r in pt} == set(sim.stored.keys())
+    # cap held: never more than 2 pages of one host in one round
+    import collections
+
+    per = collections.Counter((r["host"], r["round"]) for r in pt if not r["error"])
+    assert max(per.values()) <= 2
+    assert res["rounds"] > 12  # crawl actually stretched over more waves
+
+
+def test_one_call_crawler_api(ray_session, world_dir, tmp_path):
+    import polipus_ray
+
+    wd, spec = world_dir
+    seen = []
+    eng = polipus_ray.crawler(
+        "t",
+        ["http://h1.test/p/1"],
+        world_dir=wd,
+        run_dir=str(tmp_path / "r"),
+        depth_limit=1,
+        obey_robots_txt=True,
+        configure=lambda c: c.on_page_downloaded(lambda t: seen.append(t.num_rows)),
+    )
+    assert eng.pages_table(columns=["uuid"]).num_rows > 0
+    assert sum(seen) == eng.pages_table(columns=["uuid"]).num_rows
