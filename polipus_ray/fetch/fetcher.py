@@ -182,6 +182,7 @@ class Fetcher:
                 "seeded": m["seeded"],
                 "seq": m["seq"],
                 "user_data": m["user_data"],
+                "attempt": m["attempt"],
                 "round": self.round_no,
                 "response_time": (url_hash64(url) % 20) + 5,
                 "storable": True,
@@ -429,6 +430,7 @@ class Fetcher:
                 ("fetched_at", pa.int64()),
                 ("error", pa.string()),
                 ("user_data", pa.string()),
+                ("attempt", pa.int32()),
                 ("seq", pa.int64()),
                 ("round", pa.int32()),
                 ("doc_id", pa.int64()),

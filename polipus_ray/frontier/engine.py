@@ -670,19 +670,25 @@ class CrawlEngine:
         files = glob.glob(os.path.join(round_dir, "*.parquet"))
         if not files:
             return 0
-        t = pa.concat_tables([pq.read_table(f, columns=["url", "referer", "depth", "error", "seq", "user_data"]) for f in files])
+        t = pa.concat_tables([pq.read_table(f, columns=["url", "referer", "depth", "error", "seq", "user_data", "attempt"]) for f in files])
         import pyarrow.compute as pc
 
         errs = t.filter(pc.is_valid(t["error"]))
         if errs.num_rows == 0:
             return 0
+        # bounded retries: only rows under the retry budget re-enqueue
+        # (attempt carried through the page row; without this the same
+        # dead URL would loop forever)
+        errs = errs.filter(pc.less(errs["attempt"], self.cfg_retry_errors()))
+        if errs.num_rows == 0:
+            return 0
         rows = []
         for rr in errs.to_pylist():
-            rows.append({"url": rr["url"], "referer": rr["referer"], "depth": rr["depth"], "seq": self.next_seq, "attempt": 1, "user_data": rr["user_data"]})
+            rows.append({"url": rr["url"], "referer": rr["referer"], "depth": rr["depth"], "seq": self.next_seq, "attempt": rr["attempt"] + 1, "user_data": rr["user_data"]})
             self.next_seq += 1
-        # single retry (attempt=1); attempt>0 bypasses the exists-check
-        # at dequeue, mirroring the reference's user-driven re-enqueue
-        # pattern (examples/error_handling.rb)
+        # attempt>0 bypasses the exists-check at dequeue, mirroring the
+        # reference's user-driven re-enqueue pattern
+        # (examples/error_handling.rb)
         ft = frontier_table(rows, self.num_buckets, self.cfg.include_query_string_in_saved_page)
         self.spill.append_table(ft)
         return ft.num_rows
