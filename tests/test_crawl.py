@@ -361,3 +361,44 @@ def test_one_call_crawler_api(ray_session, world_dir, tmp_path):
     )
     assert eng.pages_table(columns=["uuid"]).num_rows > 0
     assert sum(seen) == eng.pages_table(columns=["uuid"]).num_rows
+
+
+def test_graceful_stop_and_resume(ray_session, world_dir, tmp_path):
+    # request_stop mid-crawl (signal-handler analogue): finishes the
+    # current round, checkpoints, returns; resume completes the crawl
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=3, obey_robots_txt=True)
+    run = str(tmp_path / "run")
+    eng = CrawlEngine(wd, cfg, run)
+
+    def stop_after_two(e_):
+        if e_.round_no >= 1:
+            e_.request_stop()
+
+    class StopPlugin:
+        def on_message_processed(self, e_):
+            stop_after_two(e_)
+
+    eng.plugins.append(StopPlugin())
+    eng.crawl()
+    assert not eng.spill.empty()  # stopped early with work remaining
+    assert eng.ckpt.latest() is not None
+    eng2 = CrawlEngine(wd, cfg, run)
+    eng2.crawl(resume=True)
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), cfg)
+    assert set(eng2.pages_table(columns=["uuid"])["uuid"].to_pylist()) == set(sim.stored.keys())
+
+
+def test_relaxed_mode_checkpoint_resume(ray_session, world_dir, tmp_path):
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=False, obey_robots_txt=True, deterministic_order=False, small_round_threshold=0)
+    run = str(tmp_path / "run")
+    eng = CrawlEngine(wd, cfg, run)
+    eng.crawl(max_rounds=3)
+    assert not eng.spill.empty()
+    eng2 = CrawlEngine(wd, cfg, run)
+    eng2.crawl(resume=True)
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), CrawlConfig(depth_limit=False, obey_robots_txt=True))
+    assert set(eng2.pages_table(columns=["uuid"])["uuid"].to_pylist()) == set(sim.stored.keys())
