@@ -402,3 +402,36 @@ def test_relaxed_mode_checkpoint_resume(ray_session, world_dir, tmp_path):
     web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
     sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), CrawlConfig(depth_limit=False, obey_robots_txt=True))
     assert set(eng2.pages_table(columns=["uuid"])["uuid"].to_pylist()) == set(sim.stored.keys())
+
+
+def test_per_row_payload_invariant(ray_session, world_dir, tmp_path):
+    # input_hint invariant, end to end: for every crawled page, the
+    # DECODED pixels match the world's source pixels (exact for
+    # lossless 'png', PSNR >= 40 dB for lossy 'jpeg') and the caption
+    # is byte-equal to the source caption
+    from polipus_ray.synth.images import decode_image, psnr
+    from polipus_ray.synth.world import _pixels_for
+
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, verify_payload=True)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    eng.crawl()
+    pages = eng.pages_table(columns=["doc_id", "bytes", "fmt", "caption", "error", "payload_ok"]).to_pylist()
+    web = make_web_table(DOCS, spec, with_images=False).to_pylist()
+    captions = {r["doc_id"]: r["caption"] for r in web}
+    checked = 0
+    for r in pages:
+        if r["error"] or r["bytes"] is None:
+            continue
+        px, _, _, fmt = decode_image(r["bytes"])
+        src = _pixels_for(spec, int(r["doc_id"]))
+        if fmt == "png":
+            assert (px == src).all(), r["doc_id"]
+        else:
+            p = psnr(src, px)
+            assert p >= 40.0, (r["doc_id"], p)
+        assert r["caption"] == captions[int(r["doc_id"])]
+        assert r["payload_ok"]
+        checked += 1
+    assert checked > 10
+    assert any(r["fmt"] == "jpeg" for r in pages if not r["error"])  # lossy rows exercised
