@@ -62,7 +62,9 @@ class CrawlConfig:
     num_seen_shards: int = 8
     seen_kind: str = "cuckoo"  # 'cuckoo' | 'exact'
     seen_capacity_per_shard: int = 1_000_000
-    num_host_buckets: int = 64  # frontier/web partitioning key space
+    # NOTE: the frontier/web partitioning key space (host buckets) is a
+    # property of the WORLD layout (world.json num_buckets), not config —
+    # the engine reads it from the world manifest.
     max_urls_per_host_per_round: int = 0  # 0 = uncapped; bounds skew/straggler tail
     overflow_capped_max: int = 0  # capped spill adapter: keep newest N (O5)
     politeness_default_delay: float = 0.0  # seconds of virtual clock per host fetch
