@@ -60,6 +60,25 @@ class CheckpointManager:
         for r in rounds[: -self.keep] if len(rounds) > self.keep else []:
             shutil.rmtree(self._dir(r), ignore_errors=True)
 
+    def referenced_spill_paths(self) -> set[str]:
+        """Union of frontier spill part paths across every retained
+        checkpoint manifest — consumed spill files in this set must
+        survive (crash-resume re-reads them); everything else is
+        garbage-collectable."""
+        out: set[str] = set()
+        for name in os.listdir(self.root):
+            if not name.startswith("round="):
+                continue
+            mf = os.path.join(self.root, name, "manifest.json")
+            try:
+                with open(mf) as f:
+                    state = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            for p in state.get("spill", {}).get("parts", []):
+                out.add(p["path"])
+        return out
+
     def latest(self) -> int | None:
         p = os.path.join(self.root, "LATEST")
         if not os.path.exists(p):

@@ -335,6 +335,15 @@ class Fetcher:
             cand = tracker_admit(cand, self.pool, self.cfg, now)
             n = cand.num_rows
             if n:
+                # composite-seq layout: 2^28 seqs per (round, actor),
+                # 4096 actors per round.  Overflowing either collides
+                # adjacent ranges and silently corrupts (url_hash, seq)
+                # tombstone identity + FIFO order — fail loudly instead.
+                if n >= (1 << 28) or actor_id >= (1 << 12):
+                    raise OverflowError(
+                        f"relaxed-order seq layout exceeded: n={n} (max 2^28), "
+                        f"actor_id={actor_id} (max 4095); widen the composite layout"
+                    )
                 base = (round_no + 1) * (1 << 40) + actor_id * (1 << 28)
                 ft = pa.table(
                     {

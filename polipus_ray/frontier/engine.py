@@ -263,7 +263,12 @@ class CrawlEngine:
         self.clock_base = state["clock_base"]
         self.spill.load_state(state["spill"])
         self.metrics = state["metrics"]
-        self.round_no = state["round"] + 1
+        # _checkpoint() runs AFTER round_no was incremented, so the
+        # saved value already names the next round to run.  (A +1 here
+        # would skip a round label on graceful-stop resume and, after a
+        # mid-round crash, leave the partial round=R directory in place
+        # — never re-run — duplicating its rows in pages_table.)
+        self.round_no = state["round"]
         self.pool.restore_all(blobs)
         return True
 
@@ -281,13 +286,19 @@ class CrawlEngine:
         for p in self.plugins:
             getattr(p, "on_crawl_start", lambda e: None)(self)
         n = 0
-        while not self.spill.empty():
-            if max_rounds is not None and n >= max_rounds:
-                break
-            self._run_round()
-            n += 1
-            if self.stop_requested:
-                break
+        try:
+            while not self.spill.empty():
+                if max_rounds is not None and n >= max_rounds:
+                    break
+                self._run_round()
+                n += 1
+                if self.stop_requested:
+                    break
+        except BaseException:
+            # a mid-round crash must not leak the fetch-actor pool
+            # (their reserved CPUs would starve every later pipeline)
+            self.release_pool()
+            raise
         for cb in self._on_crawl_end:
             cb(self)
         for p in self.plugins:
@@ -414,6 +425,10 @@ class CrawlEngine:
             getattr(p, "on_message_processed", lambda e: None)(self)
         self.round_no += 1
         self._checkpoint()
+        # consumed spill parts are deletable once no retained
+        # checkpoint references them (crash-resume needs referenced
+        # ones); with checkpointing off nothing ever re-reads them
+        self.spill.gc_consumed(self.ckpt.referenced_spill_paths() if self.cfg.checkpoint else None)
 
     # -- fetch+store, two schedulers --------------------------------------
     def _fetcher_kwargs(self, r: int, now: int, web_refs) -> dict:

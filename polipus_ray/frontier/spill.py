@@ -51,6 +51,10 @@ class FrontierSpill:
         # a quarter of the active limit, capped at 64k rows
         self.part_rows = part_rows or max(1, min(65536, queue_items_limit // 4))
         self.parts: list[dict] = []  # {path, rows, part_id} FIFO (oldest first)
+        # part files consumed by take_active(): they must outlive the
+        # checkpoints that reference them (crash-resume re-reads them),
+        # so deletion is deferred to gc_consumed()
+        self.consumed: list[str] = []
         self._next_part = 0
         os.makedirs(root, exist_ok=True)
 
@@ -100,7 +104,29 @@ class FrontierSpill:
             p = self.parts.pop(0)
             paths.append(p["path"])
             rows += p["rows"]
+        self.consumed.extend(paths)
         return paths, rows
+
+    def gc_consumed(self, referenced: set[str] | None = None) -> int:
+        """Delete consumed part files no longer referenced by any
+        retained checkpoint manifest (pass the union of their spill
+        paths as ``referenced``; None/empty means nothing needs them
+        for crash-resume).  Without this every part ever written
+        lives for the whole run — unbounded disk on long crawls."""
+        referenced = referenced or set()
+        live = {p["path"] for p in self.parts} | referenced
+        keep, removed = [], 0
+        for path in self.consumed:
+            if path in live:
+                keep.append(path)
+                continue
+            try:
+                os.remove(path)
+                removed += 1
+            except OSError:
+                pass
+        self.consumed = keep
+        return removed
 
     def total_rows(self) -> int:
         return sum(p["rows"] for p in self.parts)

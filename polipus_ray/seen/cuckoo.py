@@ -42,6 +42,14 @@ class CuckooFilter:
         self.table = np.zeros((nbuckets, _SLOTS), dtype=np.uint16)
         self.max_kicks = max_kicks
         self.count = 0
+        # overflow stash: when an insert exhausts max_kicks the final
+        # homeless fingerprint lands here as (bucket_idx, fp) instead
+        # of being dropped — a silent drop would erase a PREVIOUSLY
+        # inserted key (false negative), re-admitting seen URLs forever.
+        # Non-empty stash == the filter is undersized; inserts still
+        # never lose data.  A multiset: distinct keys can collide on
+        # (bucket, fp), and each copy must survive its own remove().
+        self.stash: dict[tuple[int, int], int] = {}
 
     # -- key decomposition (plain-int: the single-key hot path) -----------
     def _fp(self, h: int) -> int:
@@ -64,13 +72,17 @@ class CuckooFilter:
         if t[i1, 0] == fp or t[i1, 1] == fp or t[i1, 2] == fp or t[i1, 3] == fp:
             return True
         i2 = self._alt(i1, fp)
-        return bool(t[i2, 0] == fp or t[i2, 1] == fp or t[i2, 2] == fp or t[i2, 3] == fp)
+        if t[i2, 0] == fp or t[i2, 1] == fp or t[i2, 2] == fp or t[i2, 3] == fp:
+            return True
+        return bool(self.stash) and ((i1, fp) in self.stash or (i2, fp) in self.stash)
 
     def add(self, h: int) -> bool:
-        """Insert; returns False if the filter is full (kick limit).
-        Hot path: manual slot scan (numpy array-op temporaries cost
-        ~5 us/insert; this is ~1 us — the frontier does one insert per
-        unique URL ever discovered)."""
+        """Insert; never loses a key: on kick-limit exhaustion the
+        homeless fingerprint goes to the overflow stash (returns False
+        to signal the filter is over capacity, but membership is
+        preserved either way).  Hot path: manual slot scan (numpy
+        array-op temporaries cost ~5 us/insert; this is ~1 us — the
+        frontier does one insert per unique URL ever discovered)."""
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._alt(i1, fp)
@@ -95,7 +107,13 @@ class CuckooFilter:
                     t[i, s] = cur
                     self.count += 1
                     return True
-        return False  # full — caller should have sized capacity up
+        # full: park the evicted fingerprint in the stash.  `i` is one
+        # of cur's two valid buckets (the walk just moved there via
+        # alt()), so contains() finds it by either candidate index.
+        k = (int(i), int(cur))
+        self.stash[k] = self.stash.get(k, 0) + 1
+        self.count += 1
+        return False  # over capacity — caller should size up / resize
 
     def remove(self, h: int) -> bool:
         fp = self._fp(h)
@@ -107,10 +125,21 @@ class CuckooFilter:
                 row[hit[0]] = 0
                 self.count -= 1
                 return True
+        if self.stash:
+            for i in (i1, self._alt(i1, fp)):
+                c = self.stash.get((i, fp))
+                if c:
+                    if c == 1:
+                        del self.stash[(i, fp)]
+                    else:
+                        self.stash[(i, fp)] = c - 1
+                    self.count -= 1
+                    return True
         return False
 
     def clear(self) -> None:
         self.table[:] = 0
+        self.stash.clear()
         self.count = 0
 
     # -- batched ops (the hot path from the dedup stage) ------------------
@@ -123,7 +152,14 @@ class CuckooFilter:
         t1 = self.table[i1]  # (n, SLOTS)
         t2 = self.table[i2.astype(np.int64)]
         f = fps[:, None]
-        return ((t1 == f) | (t2 == f)).any(axis=1)
+        out = ((t1 == f) | (t2 == f)).any(axis=1)
+        if self.stash:
+            # stash is only populated at overload; scan just the misses
+            st = self.stash
+            for j in np.flatnonzero(~out):
+                if (int(i1[j]), int(fps[j])) in st or (int(i2[j]), int(fps[j])) in st:
+                    out[j] = True
+        return out
 
     def check_and_add_many(self, hashes: np.ndarray) -> np.ndarray:
         """For each hash: True if already present, else insert it and
@@ -136,8 +172,20 @@ class CuckooFilter:
             return np.zeros(0, dtype=bool)
         uniq, first_idx = np.unique(hashes, return_index=True)
         pre = self.contains_many(uniq)
+        overloaded = False
         for h in uniq[~pre]:
-            self.add(int(h))
+            overloaded |= not self.add(int(h))
+        if overloaded and not getattr(self, "_warned_full", False):
+            self._warned_full = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cuckoo filter over capacity (count=%d, buckets=%d): inserts "
+                "now land in the overflow stash (%d entries) — size capacity up",
+                self.count,
+                self.nbuckets,
+                len(self.stash),
+            )
         out = np.ones(len(hashes), dtype=bool)
         out[first_idx[~pre]] = False
         return out
@@ -145,7 +193,8 @@ class CuckooFilter:
     # -- snapshot ---------------------------------------------------------
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
-        np.savez_compressed(buf, table=self.table, count=np.int64(self.count), max_kicks=np.int64(self.max_kicks))
+        stash = np.array([(i, fp, c) for (i, fp), c in sorted(self.stash.items())], dtype=np.int64).reshape(-1, 3)
+        np.savez_compressed(buf, table=self.table, count=np.int64(self.count), max_kicks=np.int64(self.max_kicks), stash=stash)
         return buf.getvalue()
 
     @classmethod
@@ -158,4 +207,5 @@ class CuckooFilter:
             obj.mask = np.uint64(obj.nbuckets - 1)
             obj.count = int(z["count"])
             obj.max_kicks = int(z["max_kicks"])
+            obj.stash = {(int(a), int(b)): int(c) for a, b, c in z["stash"]} if "stash" in z else {}
             return obj

@@ -390,6 +390,48 @@ def test_graceful_stop_and_resume(ray_session, world_dir, tmp_path):
     assert set(eng2.pages_table(columns=["uuid"])["uuid"].to_pylist()) == set(sim.stored.keys())
 
 
+def test_crash_resume_mid_round(ray_session, world_dir, tmp_path):
+    # the checkpoint system's primary purpose: a crash AFTER round R's
+    # parquet write but BEFORE its checkpoint.  Resume must re-run (and
+    # overwrite) the partial round=R directory — no duplicate uuids,
+    # byte-identical order vs an uninterrupted run
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=3, obey_robots_txt=True)
+
+    class Boom(RuntimeError):
+        pass
+
+    class CrashPlugin:
+        # on_message_processed fires after the round's parquet write +
+        # metrics, before round_no increment + _checkpoint
+        def on_message_processed(self, e_):
+            if e_.round_no >= 2:
+                raise Boom()
+
+    run = str(tmp_path / "run")
+    eng = CrawlEngine(wd, cfg, run)
+    eng.plugins.append(CrashPlugin())
+    with pytest.raises(Boom):
+        eng.crawl()
+    # the partial round directory exists but is not checkpointed
+    import glob as g
+    import os
+
+    crashed_round = max(int(os.path.basename(d).split("=")[1]) for d in g.glob(os.path.join(run, "pages", "round=*")))
+    eng2 = CrawlEngine(wd, cfg, run)
+    eng2.crawl(resume=True)
+    # the crashed round was re-run under the SAME round label
+    assert any(m["round"] == crashed_round for m in eng2.metrics)
+    pt = eng2.pages_table(columns=["uuid", "seq", "url"])
+    uuids = pt["uuid"].to_pylist()
+    assert len(uuids) == len(set(uuids)), "crash-resume duplicated rows"
+    web = web_table_to_dict(make_web_table(DOCS, spec, with_images=False))
+    sim = simulate_crawl(web, robots_bodies(spec), seed_urls(spec), cfg)
+    assert set(uuids) == set(sim.stored.keys())
+    order = [u for _, u in sorted(zip(pt["seq"].to_pylist(), pt["url"].to_pylist()))]
+    assert order == sim.order
+
+
 def test_relaxed_mode_checkpoint_resume(ray_session, world_dir, tmp_path):
     wd, spec = world_dir
     cfg = CrawlConfig(depth_limit=False, obey_robots_txt=True, deterministic_order=False, small_round_threshold=0)

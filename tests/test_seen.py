@@ -52,6 +52,29 @@ def test_check_and_add_duplicates_within_batch():
     assert seen.tolist() == [False, False, True, False, True]
 
 
+def test_cuckoo_overload_never_false_negative():
+    # insert far beyond capacity: kicked-out fingerprints must land in
+    # the overflow stash, not vanish (a drop would erase a PREVIOUS
+    # key and re-admit seen URLs forever)
+    cf = CuckooFilter(capacity=64)
+    hs = _hashes(4000)
+    seen = cf.check_and_add_many(hs)
+    assert not seen.any()
+    assert cf.contains_many(hs).all()  # every insert still present
+    for h in hs[:200]:
+        assert cf.contains(int(h))
+    assert cf.count == len(np.unique(hs))
+    assert len(cf.stash) > 0  # overload actually happened
+    # stash survives snapshot round-trip
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains_many(hs).all() and cf2.count == cf.count
+    # remove also reaches stashed entries
+    removed = sum(cf.remove(int(h)) for h in hs)
+    assert removed == len(np.unique(hs))
+    assert not cf.contains_many(hs).any()
+    assert cf.count == 0 and not cf.stash
+
+
 def test_cuckoo_serialization():
     cf = CuckooFilter(capacity=5000)
     hs = _hashes(3000)

@@ -47,6 +47,24 @@ def test_capped_keeps_limit_plus_max(tmp_path):
     assert 14 <= sp.total_rows() <= 16
 
 
+def test_gc_consumed_part_files(tmp_path):
+    import os
+
+    sp = FrontierSpill(str(tmp_path), adapter=None, queue_items_limit=10)
+    for i in range(4):
+        sp.append_table(t([i]))
+    paths, _ = sp.take_active(100)
+    assert all(os.path.exists(p) for p in paths)  # deferred deletion
+    # checkpoint still references the first two -> they survive GC
+    removed = sp.gc_consumed(set(paths[:2]))
+    assert removed == 2
+    assert [os.path.exists(p) for p in paths] == [True, True, False, False]
+    # reference dropped (checkpoint superseded) -> now collectable
+    assert sp.gc_consumed(set()) == 2
+    assert not any(os.path.exists(p) for p in paths)
+    assert sp.consumed == []
+
+
 def test_state_roundtrip(tmp_path):
     sp = FrontierSpill(str(tmp_path), adapter=None, queue_items_limit=10)
     sp.append_table(t([1, 2, 3]))
