@@ -43,8 +43,13 @@ class CrawlConfig:
     queue_overflow_adapter: Any = None  # 'parquet'|'capped'|'devnull'|None
     queue_overflow_manager_check_time: int = 60  # inert: spill handled per round
     stats_enabled: bool = False  # metrics always recorded in round manifests
-    cookie_jar: Any = None  # inert
-    accept_cookies: bool = False  # inert
+    cookie_jar: Any = None  # optional pre-seeded {host: cookie} dict
+    # T4 parity (reference http.rb:143-152, 193, 211): when True the
+    # fetch actor keeps a per-host cookie jar — the simulated server
+    # sets a deterministic session cookie on every response, later
+    # requests to that host carry it (recorded in `cookies_sent`).
+    # Host-bucket affinity makes the jar exact per host.
+    accept_cookies: bool = False
     domain_aliases: list = field(default_factory=list)
     connection_max_hits: Any = None  # inert: actor lifetime = pool lifetime
     ttl_page: Any = None  # page TTL seconds (recrawl)
@@ -103,17 +108,32 @@ class CrawlConfig:
     # tail/merge-small-rounds optimization.  0 disables.
     small_round_threshold: int = 4096
     clock: Callable[[], int] | None = None  # injected unix-seconds clock (determinism)
+    # columns the driver-side on_page_downloaded/on_page_error hooks
+    # see.  None = every stored column EXCEPT the payload bytes (the
+    # driver never materializes payloads; list 'bytes' explicitly if a
+    # hook truly needs them).
+    hook_columns: list | None = None
 
     def resolved_fetch_concurrency(self) -> int:
         return int(self.fetch_concurrency or self.workers)
 
     def effective_user_agent(self) -> str:
-        """Reference samples a random UA from a list per request
-        (http.rb:84-90) and for robots (polipus.rb:133-137); we pin
-        the deterministic first entry (no RNG in the workflow, O6)."""
+        """The robots-matching UA: reference samples once at client
+        construction (polipus.rb:133-137); we pin the deterministic
+        first entry (no RNG in the workflow)."""
         ua = self.user_agent
         if isinstance(ua, (list, tuple)):
             return str(ua[0]) if ua else "polipus-ray"
+        return str(ua)
+
+    def user_agent_for(self, url_hash: int) -> str:
+        """Per-request UA choice (O6).  Reference samples randomly per
+        request when a list is configured (http.rb:84-90); here the
+        choice is the deterministic ``ua[url_hash % len]`` so runs are
+        reproducible."""
+        ua = self.user_agent
+        if isinstance(ua, (list, tuple)):
+            return str(ua[int(url_hash) % len(ua)]) if ua else "polipus-ray"
         return str(ua)
 
     def depth_allowed(self, depth: int) -> bool:

@@ -78,6 +78,11 @@ class Fetcher:
         self.web_refs = web_refs
         self._buckets: dict[int, tuple[dict[str, int], pa.Table]] = {}
         self._next_ok: dict[str, float] = {}
+        # per-host cookie jar (T4, reference http.rb:143-152): the
+        # simulated server sets a deterministic session cookie on each
+        # response; subsequent requests to the host send it.  Exact
+        # because a host's bucket lives on one actor for the run.
+        self._cookie_jar: dict[str, str] = dict(cfg.cookie_jar or {}) if cfg.accept_cookies else {}
         # fused dequeue-side re-check (policy sans tracker + storage
         # anti-join): saves a map_batches stage per round
         self._prefetch_check = prefetch_check
@@ -88,6 +93,8 @@ class Fetcher:
         self._before_save_hooks = list(before_save_hooks or [])
         self._focus_crawl = focus_crawl
         self._extractor = None
+        self._pending_cand: pa.Table | None = None
+        self._pending_spill_path: str | None = None
 
     # -- web-table partition cache ---------------------------------------
     def _bucket_of(self, url: str) -> int:
@@ -116,8 +123,8 @@ class Fetcher:
             self._buckets[b] = got
         return got
 
-    def _lookup(self, url: str):
-        idx, t, codes, redirects = self._load_bucket(self._bucket_of(url))
+    def _lookup(self, url: str, bucket: int | None = None):
+        idx, t, codes, redirects = self._load_bucket(self._bucket_of(url) if bucket is None else bucket)
         i = idx.get(url)
         return None if i is None else (t, i, int(codes[i]), redirects[i])
 
@@ -141,26 +148,65 @@ class Fetcher:
             return self._empty()
         # per-host priority order (O7): lower priority first, then FIFO seq
         order = np.lexsort((batch["seq"].to_numpy(), batch["priority"].to_numpy()))
-        rows = batch.select(["url", "host", "referer", "depth", "seeded", "seq", "user_data", "attempt"]).to_pylist()
+        # column lists, not row dicts (to_pylist() on a wide selection
+        # builds a dict per row — measurable at frontier scale)
+        c_url = batch["url"].to_pylist()
+        c_host = batch["host"].to_pylist()
+        c_ref = batch["referer"].to_pylist()
+        c_depth = batch["depth"].to_pylist()
+        c_seeded = batch["seeded"].to_pylist()
+        c_seq = batch["seq"].to_pylist()
+        c_ud = batch["user_data"].to_pylist()
+        c_att = batch["attempt"].to_pylist()
+        c_bucket = batch["host_bucket"].to_pylist() if "host_bucket" in batch.column_names else None
 
-        out: list[dict] = []
+        # columnar accumulation in processing order (no per-row dicts:
+        # the dict-of-30-fields pattern was the measured hot spot)
+        import hashlib as _hl
+
+        accept_ck = self.cfg.accept_cookies
+        ua_cfg = self.cfg.user_agent
+        ua_is_list = isinstance(ua_cfg, (list, tuple))
+        ua_fixed = None if ua_is_list else str(ua_cfg)
+        wall = self.cfg.simulate_politeness_wall_clock
+        rlimit = self.cfg.redirect_limit
+        next_ok = self._next_ok
+        o_url: list = []
+        o_host: list = []
+        o_aliases: list = []
+        o_code: list = []
+        o_error: list = []
+        o_fetched: list = []
+        o_ref: list = []
+        o_depth: list = []
+        o_seeded: list = []
+        o_seq: list = []
+        o_ud: list = []
+        o_att: list = []
+        o_resp: list = []
+        o_ua: list = []
+        o_ck: list = []
+        o_hexd: list = []  # md5 hexdigest of the REQUESTED url, reusable when final == requested
         finals: list[tuple[int, pa.Table, int]] = []  # (out_idx, bucket table, row idx)
         for oi in order:
-            m = rows[oi]
-            url = m["url"]
-            host = m["host"]
+            url = c_url[oi]
+            host = c_host[oi]
             # politeness: virtual per-host clock
-            t0 = max(0.0, self._next_ok.get(host, 0.0))
+            t0 = next_ok.get(host, 0.0)
+            if t0 < 0.0:
+                t0 = 0.0
             d = self._delay(host)
-            self._next_ok[host] = t0 + d
-            if self.cfg.simulate_politeness_wall_clock and d > 0:
+            next_ok[host] = t0 + d
+            if wall and d > 0:
                 time.sleep(d)
             # redirect chain (same-host, <= redirect_limit hops)
             hops: list[str] = []
             cur = url
             hit = None
             while True:
-                found = self._lookup(cur)
+                # hop 0 reuses the frontier's host_bucket column;
+                # later (redirect) hops recompute from the URL
+                found = self._lookup(cur, int(c_bucket[oi]) if (c_bucket is not None and not hops) else None)
                 if found is None:
                     hit = None
                     break
@@ -170,59 +216,59 @@ class Fetcher:
                     # Location may be relative (http.rb:167): resolve
                     # against the current URL before the host gate
                     rt = canonicalize(rt, cur)
-                if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= self.cfg.redirect_limit:
+                if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= rlimit:
                     cur = rt
                     hit = (t, i)
                     continue
                 hit = (t, i)
                 break
-            rec = {
-                "referer": m["referer"],
-                "depth": m["depth"],
-                "seeded": m["seeded"],
-                "seq": m["seq"],
-                "user_data": m["user_data"],
-                "attempt": m["attempt"],
-                "round": self.round_no,
-                "response_time": (url_hash64(url) % 20) + 5,
-                "storable": True,
-            }
+            hexd = _hl.md5(url.encode("utf-8", "surrogatepass")).hexdigest()
+            uh = int(hexd[:16], 16)
+            o_ref.append(c_ref[oi])
+            o_depth.append(c_depth[oi])
+            o_seeded.append(c_seeded[oi])
+            o_seq.append(c_seq[oi])
+            o_ud.append(c_ud[oi])
+            o_att.append(c_att[oi])
+            o_resp.append((uh % 20) + 5)
+            # per-request UA sampled by url hash (O6, http.rb:84-90)
+            o_ua.append(str(ua_cfg[uh % len(ua_cfg)]) if ua_is_list else ua_fixed)
+            # cookies in the jar at request time (T4); jar updated
+            # below once the simulated server responds
+            o_ck.append(self._cookie_jar.get(host, "") if accept_ck else "")
             if hit is None:
                 # error page: original URL, no code, nil fetched_at (http.rb:63-71)
-                rec.update(
-                    url=url,
-                    host=host,
-                    aliases=[],
-                    code=None,
-                    caption=None,
-                    links=[],
-                    content_type="",
-                    bytes=None,
-                    w=None,
-                    h=None,
-                    fmt=None,
-                    phash=None,
-                    doc_id=None,
-                    base_href=None,
-                    error="connection failed",
-                    fetched_at=-1,
-                )
+                o_url.append(url)
+                o_host.append(host)
+                o_aliases.append([])
+                o_code.append(None)
+                o_error.append("connection failed")
+                o_fetched.append(-1)
+                o_hexd.append(hexd)
             else:
                 t, i = hit
                 final_url = hops[-1]
-                rec.update(
-                    url=final_url,
-                    host=host_of(final_url),
-                    aliases=hops[:-1],
-                    code=code,  # final hop's code from the loop above
-                    error=None,
-                    fetched_at=self.now + int(t0),
-                )
-                finals.append((len(out), t, i))
-            out.append(rec)
+                if accept_ck:
+                    # Set-Cookie analogue: the simulated host issues a
+                    # deterministic session id on every response
+                    self._cookie_jar[host] = "sid=" + _hl.md5(host.encode()).hexdigest()[:8]
+                o_url.append(final_url)
+                o_host.append(host_of(final_url) if hops[0] != final_url else host)
+                o_aliases.append(hops[:-1])
+                o_code.append(code)  # final hop's code from the loop above
+                o_error.append(None)
+                o_fetched.append(self.now + int(t0))
+                o_hexd.append(hexd if final_url == url else None)
+                finals.append((len(o_url) - 1, t, i))
 
+        n_out = len(o_url)
         # payload columns via batched take per bucket table (vectorized copy)
         payload_cols = ["caption", "links", "content_type", "bytes", "w", "h", "fmt", "phash", "doc_id", "base_href"]
+        pay: dict[str, list] = {c: [None] * n_out for c in payload_cols}
+        for j, e in enumerate(o_error):
+            if e is not None:
+                pay["links"][j] = []
+                pay["content_type"][j] = ""
         by_table: dict[int, tuple[pa.Table, list[int], list[int]]] = {}
         for out_idx, t, i in finals:
             key = id(t)
@@ -231,26 +277,90 @@ class Fetcher:
             ent[2].append(i)
         for t, out_idxs, row_idxs in by_table.values():
             sub = t.select(payload_cols).take(pa.array(row_idxs))
-            pl = sub.to_pylist()
-            for j, oi in enumerate(out_idxs):
-                out[oi].update(pl[j])
+            for c in payload_cols:
+                vals = sub[c].to_pylist()
+                col = pay[c]
+                for j, oi2 in enumerate(out_idxs):
+                    col[oi2] = vals[j]
+
+        # uuid / hashes: one md5 per row (reused from the request hash
+        # when no redirect moved the final url); host hashes cached per
+        # host — batches are host-clustered
+        inc = self.cfg.include_query_string_in_saved_page
+        from ..urltools import strip_query
+
+        o_uuid: list = [None] * n_out
+        o_uhash: list = [0] * n_out
+        o_hhash: list = [0] * n_out
+        o_bucket: list = [0] * n_out
+        hh_cache: dict[str, tuple[int, int]] = {}
+        for j in range(n_out):
+            hexd = o_hexd[j] if inc else None
+            if hexd is None:
+                u = o_url[j] if inc else strip_query(o_url[j])
+                hexd = _hl.md5(u.encode("utf-8", "surrogatepass")).hexdigest()
+            o_uuid[j] = hexd
+            uhv = int(hexd[:16], 16)
+            o_uhash[j] = uhv - (1 << 64) if uhv >= (1 << 63) else uhv
+            host = o_host[j]
+            got = hh_cache.get(host)
+            if got is None:
+                hhv = host_hash64(host)
+                got = (hhv - (1 << 64) if hhv >= (1 << 63) else hhv, hhv % self.num_buckets)
+                hh_cache[host] = got
+            o_hhash[j], o_bucket[j] = got
 
         # redirect-final / generic storage-dedup on the FINAL url
         # (reference re-checks page_exists? after redirects, polipus.rb:209)
-        keep = np.ones(len(out), dtype=bool)
+        keep = np.ones(n_out, dtype=bool)
         if self.pool is not None:
-            redirected = [j for j, r in enumerate(out) if r["aliases"] and not r["seeded"]]
+            redirected = [j for j in range(n_out) if o_aliases[j] and not o_seeded[j]]
             if redirected:
-                uh = np.array([url_hash64(out[j]["url"], self.cfg.include_query_string_in_saved_page) for j in redirected], dtype=np.uint64)
-                hh = np.array([host_hash64(out[j]["host"]) for j in redirected], dtype=np.uint64)
-                exists, ts = self.pool.stored_info(uh, hh)
+                uh_arr = np.array([o_uhash[j] for j in redirected], dtype=np.int64).view(np.uint64)
+                hh_arr = np.array([o_hhash[j] for j in redirected], dtype=np.int64).view(np.uint64)
+                exists, ts = self.pool.stored_info(uh_arr, hh_arr)
                 ttl = self.cfg.ttl_page
                 for k, j in enumerate(redirected):
                     expired = ttl is not None and ts[k] >= 0 and (self.now - ttl) > ts[k]
                     if exists[k] and not expired:
                         keep[j] = False
-        out = [r for j, r in enumerate(out) if keep[j]]
-        t = self._to_table(out)
+        cols = {
+            "uuid": o_uuid,
+            "url": o_url,
+            "host": o_host,
+            "host_bucket": o_bucket,
+            "url_hash": o_uhash,
+            "host_hash": o_hhash,
+            "aliases": o_aliases,
+            "referer": o_ref,
+            "depth": o_depth,
+            "seeded": o_seeded,
+            "code": o_code,
+            "bytes": pay["bytes"],
+            "caption": pay["caption"],
+            "w": pay["w"],
+            "h": pay["h"],
+            "fmt": pay["fmt"],
+            "phash": pay["phash"],
+            "links": pay["links"],
+            "content_type": pay["content_type"],
+            "response_time": o_resp,
+            "fetched_at": o_fetched,
+            "ua": o_ua,
+            "cookies_sent": o_ck,
+            "error": o_error,
+            "user_data": o_ud,
+            "attempt": o_att,
+            "seq": o_seq,
+            "round": [self.round_no] * n_out,
+            "doc_id": pay["doc_id"],
+            "base_href": pay["base_href"],
+            "storable": [True] * n_out,
+        }
+        if not keep.all():
+            cols = {k: [v for v, kp in zip(vals, keep) if kp] for k, vals in cols.items()}
+        schema = self._schema()
+        t = pa.table({k: pa.array(v, schema.field(k).type) for k, v in cols.items()}).select(schema.names)
         if self._mark_stored and self.pool is not None and t.num_rows:
             # fused mark-stored (only when no before_save hooks can
             # flip storable): one RPC batch per fetch group
@@ -299,14 +409,26 @@ class Fetcher:
             s = time.perf_counter()
             pages = self._verify_payloads(pages)
             tm["verify"] = time.perf_counter() - s
+        unstorable = None
         if self._before_save_hooks:
             for fn in self._before_save_hooks:
                 pages = fn(pages)
+            if pages.num_rows and "storable" in pages.column_names:
+                mask = np.asarray(pages["storable"].to_numpy(zero_copy_only=False), dtype=bool)
+                if not mask.all():
+                    # unstorable pages still reach on_page_downloaded /
+                    # on_page_error (reference fires hooks on every
+                    # processed page, polipus.rb:221-237) — returned
+                    # narrow (bytes-free) for the driver-side hooks
+                    unstorable = pages.filter(pa.array(~mask))
             pages = filter_storable(pages)
             if self.cfg.storage != "devnull" and self.pool is not None and pages.num_rows:
                 make_mark_stored(self.pool)(pages)
         if self.cfg.storage_except:
             pages = pages.drop_columns([c for c in self.cfg.storage_except if c in pages.column_names])
+        if unstorable is not None:
+            drop = set(self.cfg.storage_except or ()) | {"bytes"}
+            unstorable = unstorable.drop_columns([c for c in drop if c in unstorable.column_names])
         stored = pages.num_rows
         errors = pages.num_rows - pages["error"].null_count if stored else 0
         s = time.perf_counter()
@@ -322,7 +444,24 @@ class Fetcher:
         cand = self._extractor(pages.select(PAGE_NARROW)) if stored else None
         tm["extract"] = time.perf_counter() - s
         spill = None
-        if spill_path is not None and not self.cfg.deterministic_order and self.pool is not None and cand is not None and cand.num_rows:
+        cand_keys = None
+        if spill_path is not None and self.cfg.deterministic_order and cand is not None and cand.num_rows:
+            # deterministic scale path: candidates sorted locally and
+            # STAY in the actor; only the narrow ordering/dedup keys
+            # (url_hash, host_hash, parent_seq, link_idx — 28 B/row)
+            # go to the driver, which runs the global FIFO admission
+            # and calls back emit_frontier() with admitted indices +
+            # seqs.  Byte-identical order to driver streaming, without
+            # candidate strings ever crossing the driver.
+            s = time.perf_counter()
+            order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
+            cand = cand.take(pa.array(order))
+            self._pending_cand = cand
+            self._pending_spill_path = spill_path
+            cand_keys = cand.select(["url_hash", "host_hash", "parent_seq", "link_idx"])
+            cand = None
+            tm["keys"] = time.perf_counter() - s
+        elif spill_path is not None and not self.cfg.deterministic_order and self.pool is not None and cand is not None and cand.num_rows:
             # relaxed-order scale path: admit + spill in-actor.  Local
             # FIFO sort -> shard check_and_add -> composite seq
             # (round, actor, idx): per-round depth order preserved,
@@ -369,12 +508,46 @@ class Fetcher:
             "stored": stored,
             "errors": errors,
             "cand": cand,
+            "cand_keys": cand_keys,
             "spill": spill,
             "keys": keys,
             "deferred": deferred,
+            "unstorable": unstorable,
             "path": out_path if stored else None,
             "timings": tm,
         }
+
+    def emit_frontier(self, admitted_idx: np.ndarray, seqs: np.ndarray) -> dict | None:
+        """Deterministic-mode callback: the driver admitted
+        ``admitted_idx`` (positions into this actor's locally-sorted
+        pending candidates) with global FIFO ``seqs``; build the
+        frontier rows here and write this actor's spill part."""
+        cand = self._pending_cand
+        spill_path = self._pending_spill_path
+        self._pending_cand = None
+        self._pending_spill_path = None
+        if cand is None or len(admitted_idx) == 0:
+            return None
+        sub = cand.take(pa.array(np.asarray(admitted_idx, dtype=np.int64)))
+        n = sub.num_rows
+        ft = pa.table(
+            {
+                "url": sub["url"],
+                "host": sub["host"],
+                "url_hash": sub["url_hash"],
+                "host_hash": sub["host_hash"],
+                "host_bucket": sub["host_bucket"],
+                "referer": sub["referer"],
+                "depth": sub["depth"],
+                "seeded": pa.array(np.zeros(n, dtype=bool)),
+                "seq": pa.array(np.asarray(seqs, dtype=np.int64), pa.int64()),
+                "priority": pa.array(np.zeros(n, dtype=np.int64)),
+                "attempt": pa.array(np.zeros(n, dtype=np.int32)),
+                "user_data": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        pq.write_table(ft, spill_path, compression="lz4")
+        return {"path": spill_path, "rows": n}
 
     def _verify_payloads(self, pages: pa.Table) -> pa.Table:
         """Decode each image payload and verify the stored perceptual
@@ -437,6 +610,8 @@ class Fetcher:
                 ("content_type", pa.string()),
                 ("response_time", pa.int64()),
                 ("fetched_at", pa.int64()),
+                ("ua", pa.string()),
+                ("cookies_sent", pa.string()),
                 ("error", pa.string()),
                 ("user_data", pa.string()),
                 ("attempt", pa.int32()),
@@ -454,16 +629,32 @@ class Fetcher:
     def _to_table(self, out: list[dict]) -> pa.Table:
         if not out:
             return self._empty()
+        import hashlib
+
+        from ..urltools import strip_query
+
         inc = self.cfg.include_query_string_in_saved_page
+        # one md5 per row: uuid is the hex digest, url_hash the first
+        # 8 bytes of the SAME digest (url_hash64 == int(hexdigest[:16],
+        # 16) by construction); host hashes cached per host (batches
+        # are host-clustered)
+        hh_cache: dict[str, tuple[int, int]] = {}
         for r in out:
-            r["uuid"] = page_uuid(r["url"], inc)
-            uhv = url_hash64(r["url"], inc)
-            hhv = host_hash64(r["host"])
+            u = r["url"] if inc else strip_query(r["url"])
+            hexd = hashlib.md5(u.encode("utf-8", "surrogatepass")).hexdigest()
+            r["uuid"] = hexd
+            uhv = int(hexd[:16], 16)
             r["url_hash"] = uhv - (1 << 64) if uhv >= (1 << 63) else uhv
-            r["host_hash"] = hhv - (1 << 64) if hhv >= (1 << 63) else hhv
-            r["host_bucket"] = host_hash64(r["host"]) % self.num_buckets
-        cols = {f.name: [r.get(f.name) for r in out] for f in self._schema()}
-        return pa.table({k: pa.array(v, self._schema().field(k).type) for k, v in cols.items()})
+            host = r["host"]
+            got = hh_cache.get(host)
+            if got is None:
+                hhv = host_hash64(host)
+                got = (hhv - (1 << 64) if hhv >= (1 << 63) else hhv, hhv % self.num_buckets)
+                hh_cache[host] = got
+            r["host_hash"], r["host_bucket"] = got
+        schema = self._schema()
+        cols = {f.name: [r.get(f.name) for r in out] for f in schema}
+        return pa.table({k: pa.array(v, schema.field(k).type) for k, v in cols.items()})
 
 
 def fetcher_kwargs(web_dir: str, robots_bodies: dict, cfg: CrawlConfig, pool, round_no: int, now: int, num_buckets: int) -> dict:

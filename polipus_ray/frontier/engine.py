@@ -349,6 +349,7 @@ class CrawlEngine:
         self._last_counts = None
         self._last_enqueued = None  # set by relaxed-order pool rounds
         self._last_keys = None  # narrow dedup keys from pool rounds
+        self._last_unstorable = None  # narrow unstorable pages (hook parity)
         if local:
             cand = self._fetch_store_local(active_paths, round_dir, r, now)
         elif self.cfg.fetch_mode == "pool":
@@ -372,18 +373,31 @@ class CrawlEngine:
 
         # observe-only hooks run driver-side on the written round
         # (remote-task side effects on driver closures would be lost).
-        # They see stored pages only — noted divergence from the
-        # reference, which calls them on unstorable pages too.
-        if (self._on_page_error and error_rows) or (self._on_page_downloaded and stored_rows):
-            import pyarrow.compute as pc
+        # Reads are BYTES-FREE (payloads never enter the driver; set
+        # cfg.hook_columns to widen/narrow) and unstorable pages are
+        # included via the actors' narrow returns — reference parity:
+        # hooks fire on every processed page (polipus.rb:221-237).
+        if self._on_page_error or self._on_page_downloaded:
+            extras = [t for t in (self._last_unstorable or []) if t is not None and t.num_rows]
+            tables = []
+            if page_files and (stored_rows or error_rows):
+                if self.cfg.hook_columns is not None:
+                    cols = list(self.cfg.hook_columns)
+                else:
+                    cols = [c for c in pq.read_schema(page_files[0]).names if c != "bytes"]
+                tables = [pq.read_table(f, columns=cols) for f in page_files]
+                extras = [t.select(cols) for t in extras if set(cols) <= set(t.column_names)]
+            full = pa.concat_tables(tables + extras) if (tables or extras) else None
+            if full is not None and full.num_rows:
+                import pyarrow.compute as pc
 
-            full = pa.concat_tables([pq.read_table(f) for f in page_files])
-            if self._on_page_error and error_rows:
-                err_t = full.filter(pc.is_valid(full["error"]))
-                for fn in self._on_page_error:
-                    fn(err_t)
-            for fn in self._on_page_downloaded:
-                fn(full)
+                if self._on_page_error:
+                    err_t = full.filter(pc.is_valid(full["error"]))
+                    if err_t.num_rows:
+                        for fn in self._on_page_error:
+                            fn(err_t)
+                for fn in self._on_page_downloaded:
+                    fn(full)
 
         enqueued = 0
         if self._last_enqueued is not None:
@@ -495,17 +509,20 @@ class CrawlEngine:
         bounds = np.searchsorted(aid[order], np.arange(W + 1))
         relaxed = not self.cfg.deterministic_order
         refs = []
+        ref_actors = []
         for a in range(W):
             lo, hi = bounds[a], bounds[a + 1]
             if lo == hi:
                 continue
             sub = t.take(pa.array(order[lo:hi]))
-            spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet") if relaxed else None
+            spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet")
             refs.append(actors[a].run_round_batch.remote(sub, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a))
+            ref_actors.append(a)
         results = ray.get(refs)
         self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
         ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]
         self._last_keys = pa.concat_tables(ks) if ks else None
+        self._last_unstorable = [r_.get("unstorable") for r_ in results]
         # hot-host-cap deferrals rejoin the frontier (original seq kept)
         for r_ in results:
             d = r_.get("deferred")
@@ -519,10 +536,66 @@ class CrawlEngine:
                     enq += res["spill"]["rows"]
             self._last_enqueued = enq
             return None
-        cands = [res["cand"] for res in results if res["cand"] is not None and res["cand"].num_rows]
-        if not cands:
-            return self._empty_candidates()
-        return pa.concat_tables(cands)
+        self._last_enqueued = self._admit_narrow_keys(results, ref_actors, actors, now)
+        return None
+
+    def _admit_narrow_keys(self, results: list[dict], ref_actors: list[int], actors: list, now: int) -> int:
+        """Deterministic-mode global FIFO admission over NARROW keys
+        only (url_hash, host_hash, parent_seq, link_idx — 28 B per
+        candidate): merge-sort driver-side, run the tracker probe in
+        discovery order (first-occurrence-wins == the reference's
+        enqueue serialization), assign global seqs, then call each
+        actor's emit_frontier() with its admitted positions + seqs —
+        the actor writes its own spill part.  Candidate strings never
+        cross the driver; byte-identical crawl order to the old
+        driver-streaming path (verified by the parity suite)."""
+        import ray
+
+        uh_l, hh_l, ps_l, li_l, act_l, loc_l = [], [], [], [], [], []
+        for i, res in enumerate(results):
+            ck = res.get("cand_keys")
+            if ck is None or ck.num_rows == 0:
+                continue
+            n = ck.num_rows
+            uh_l.append(ck["url_hash"].to_numpy())
+            hh_l.append(ck["host_hash"].to_numpy())
+            ps_l.append(ck["parent_seq"].to_numpy())
+            li_l.append(ck["link_idx"].to_numpy())
+            act_l.append(np.full(n, ref_actors[i], dtype=np.int32))
+            loc_l.append(np.arange(n, dtype=np.int64))
+        if not uh_l:
+            return 0
+        uh = np.concatenate(uh_l).astype(np.int64).view(np.uint64)
+        hh = np.concatenate(hh_l).astype(np.int64).view(np.uint64)
+        ps = np.concatenate(ps_l)
+        li = np.concatenate(li_l)
+        act = np.concatenate(act_l)
+        loc = np.concatenate(loc_l)
+        order = np.lexsort((li, ps))
+        uh, hh, act, loc = uh[order], hh[order], act[order], loc[order]
+        # tracker/TTL tail of should_be_visited? (same semantics as
+        # stages.tracker_admit, on raw arrays)
+        if self.cfg.ttl_page is not None:
+            exists, ts = self.pool.stored_info(uh, hh)
+            expired = exists & (ts >= 0) & ((now - self.cfg.ttl_page) > ts)
+        else:
+            expired = np.zeros(len(uh), dtype=bool)
+        seen = self.pool.check_and_add(uh, hh)
+        admit = expired | ~seen
+        n_admit = int(admit.sum())
+        if n_admit == 0:
+            return 0
+        seqs = np.zeros(len(uh), dtype=np.int64)
+        seqs[admit] = np.arange(self.next_seq, self.next_seq + n_admit)
+        self.next_seq += n_admit
+        refs = []
+        for a in sorted(set(act[admit].tolist())):
+            sel = admit & (act == a)
+            refs.append(actors[a].emit_frontier.remote(loc[sel], seqs[sel]))
+        for spill in ray.get(refs):
+            if spill:
+                self.spill.register_part(spill["path"], spill["rows"])
+        return n_admit
 
     def warm_pool(self) -> None:
         """Spin up + preload the fetch pool and the web broadcast
@@ -585,6 +658,7 @@ class CrawlEngine:
             self._driver_fetcher = Fetcher(**kw)
         res = self._driver_fetcher.run_round_batch(t, r, now, os.path.join(round_dir, "part-0.parquet"))
         self._last_counts = (res["stored"], res["errors"])
+        self._last_unstorable = [res.get("unstorable")]
         if res.get("deferred") is not None and res["deferred"].num_rows:
             self.spill.append_table(res["deferred"])
         return res["cand"] if res["cand"] is not None else self._empty_candidates()

@@ -22,6 +22,11 @@ is tight):
 - ``"capped"``: drop the oldest parts beyond ``queue_items_limit +
   capped_max`` (the capped Mongo queue keeps the newest ``max`` of
   the spilled stream, mongo_queue_capped.rb:11-21).
+- ``"uniq"``: dedup on push by ``url_hash`` (the reference's
+  ensure_uniq upsert mode, mongo_queue.rb:30-32, 53-57 — its spec:
+  2 rows after 40 duplicate pushes).  API-parity adapter: the engine
+  normally dedups upstream at tracker admission, so the uniq set here
+  is only as large as what callers push.
 
 Restored items are re-validated at round start by the engine's
 dequeue-side re-check (policy sans tracker + storage anti-join),
@@ -56,12 +61,31 @@ class FrontierSpill:
         # so deletion is deferred to gc_consumed()
         self.consumed: list[str] = []
         self._next_part = 0
+        self._pushed: set[int] = set()  # uniq adapter: url_hashes ever pushed
         os.makedirs(root, exist_ok=True)
 
     # -- append (enqueue side) -------------------------------------------
     def append_table(self, table: pa.Table) -> None:
         if table.num_rows == 0:
             return
+        if self.adapter == "uniq" and "url_hash" in table.column_names:
+            import numpy as np
+
+            hs = table["url_hash"].to_numpy()
+            fresh = np.fromiter((int(h) not in self._pushed for h in hs), dtype=bool, count=len(hs))
+            # first occurrence within the batch wins, like upsert
+            seen_local: set[int] = set()
+            for k, h in enumerate(hs.tolist()):
+                if fresh[k]:
+                    if h in seen_local:
+                        fresh[k] = False
+                    else:
+                        seen_local.add(h)
+            self._pushed.update(seen_local)
+            if not fresh.all():
+                table = table.filter(pa.array(fresh))
+            if table.num_rows == 0:
+                return
         for off in range(0, table.num_rows, self.part_rows):
             chunk = table.slice(off, self.part_rows)
             path = os.path.join(self.root, f"part-{self._next_part:06d}.parquet")
@@ -136,8 +160,12 @@ class FrontierSpill:
 
     # -- checkpoint -------------------------------------------------------
     def state(self) -> dict:
-        return {"parts": self.parts, "next_part": self._next_part}
+        st = {"parts": self.parts, "next_part": self._next_part}
+        if self.adapter == "uniq":
+            st["pushed"] = sorted(self._pushed)
+        return st
 
     def load_state(self, st: dict) -> None:
         self.parts = list(st["parts"])
         self._next_part = int(st["next_part"])
+        self._pushed = set(st.get("pushed", ()))

@@ -106,20 +106,61 @@ def _kmeans(M: np.ndarray, nlist: int, iters: int = 5, seed: int = 7) -> np.ndar
     return C
 
 
+def _ivf_sample(sf_dir: str, cap: int = 4096) -> np.ndarray:
+    """Deterministic distributed training sample for k-means: filter
+    ``vec_id % mod == 0`` (mod sized so <= cap rows survive) inside
+    map_batches, pull ONLY the surviving rows to the driver, sort by
+    vec_id (block order independence), normalize.  Never a full-table
+    driver read."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = pf.metadata.num_rows
+    mod = max(1, (n + cap - 1) // cap)
+    import ray
+
+    if ray.is_initialized():
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        if mod > 1:
+
+            def pick(batch: pa.Table) -> pa.Table:
+                ids = batch["vec_id"].to_numpy()
+                return batch.filter(pa.array(ids % mod == 0))
+
+            ds = ds.map_batches(pick, batch_format="pyarrow")
+        t = pa.concat_tables(list(ds.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    else:
+        # ray-less fallback (identical result: the sample depends only
+        # on the id filter + sort): stream row groups, keep <= cap rows
+        parts = []
+        for g in range(pf.num_row_groups):
+            rg = pf.read_row_group(g, columns=["vec_id", "embedding"])
+            ids = rg["vec_id"].to_numpy()
+            parts.append(rg.filter(pa.array(ids % mod == 0)))
+        t = pa.concat_tables(parts)
+    t = t.take(pa.array(np.argsort(t["vec_id"].to_numpy())))
+    M = emb_matrix(t["embedding"])
+    return M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+def ivf_model(sf_dir: str, num_queries: int, nlist: int, nprobe: int):
+    """(qids, Q, centroids, probe_lists) — shared by the Ray pipeline
+    and by __ray_entry__.oracle_sql(), which inlines the centroids and
+    probe lists as SQL literals so DuckDB replays the same IVF search
+    exactly."""
+    qids, Q = _load_queries(sf_dir, num_queries)
+    C = _kmeans(_ivf_sample(sf_dir), nlist)
+    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    return qids, Q, C, probe_lists
+
+
 def ann_topk_ivf(sf_dir: str, k: int = 5, num_queries: int = 10, nlist: int = 16, nprobe: int = 4):
     import ray
     import ray.data
 
-    qids, Q = _load_queries(sf_dir, num_queries)
-    # centroids from a driver-side sample (full table at test scale;
-    # at 1e9+ vectors: ds.random_sample into the same routine)
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    M = emb_matrix(t["embedding"])
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    C = _kmeans(M, nlist)
-    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qids, Q, C, probe_lists = ivf_model(sf_dir, num_queries, nlist, nprobe)
     qref = ray.put((qids, Q, C, probe_lists))
 
     def partial(batch: pa.Table) -> pa.Table:

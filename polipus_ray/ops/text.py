@@ -129,7 +129,7 @@ def _doc_fingerprint(text: str, window: int = 4) -> int:
         out = 0
         for h in hs:
             out ^= h
-        return out
+        return out & 0x7FFFFFFFFFFFFFFF
     out = 0
     for i in range(len(hs) - window + 1):
         out ^= min(hs[i : i + window])

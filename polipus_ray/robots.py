@@ -108,6 +108,13 @@ class RobotsCache:
     def __init__(self, robots_bodies: dict[str, str], user_agent: str = "polipus-ray"):
         self._bodies = robots_bodies
         self._parsed: dict[str, ParsedRobots] = {}
+        # the crawl UA is fixed per cache, so agent-regex resolution
+        # can be hoisted: per host, a flat list of the disallow rules
+        # whose agent matches (empty => allow-all, no path parse), and
+        # the resolved crawl delay.  Same semantics as ParsedRobots
+        # (flat any() == the nested loop), ~10x cheaper per URL.
+        self._flat_rules: dict[str, list[re.Pattern]] = {}
+        self._host_delay: dict[str, int | None] = {}
         self.user_agent = user_agent
 
     def _for_host(self, host: str) -> ParsedRobots:
@@ -117,10 +124,29 @@ class RobotsCache:
             self._parsed[host] = pr
         return pr
 
-    def allowed(self, url: str, host: str | None = None) -> bool:
-        from .urltools import host_of
+    def _rules_for(self, host: str) -> list[re.Pattern]:
+        got = self._flat_rules.get(host)
+        if got is None:
+            pr = self._for_host(host)
+            got = [r for agent_re, rules in pr.disallows if agent_re.search(self.user_agent) for r in rules]
+            self._flat_rules[host] = got
+        return got
 
-        return self._for_host(host or host_of(url)).allowed(url, self.user_agent)
+    def allowed(self, url: str, host: str | None = None) -> bool:
+        if host is None:
+            from .urltools import host_of
+
+            host = host_of(url)
+        rules = self._rules_for(host)
+        if not rules:
+            return True
+        path = path_of(url)
+        return not any(r.search(path) for r in rules)
 
     def delay(self, host: str) -> int | None:
-        return self._for_host(host).delay(self.user_agent)
+        try:
+            return self._host_delay[host]
+        except KeyError:
+            d = self._for_host(host).delay(self.user_agent)
+            self._host_delay[host] = d
+            return d

@@ -112,12 +112,36 @@ def strip_query(url: str) -> str:
     return _QUERY_RE.sub("", url)
 
 
+# fast-path splitter for well-formed absolute URLs: scheme://netloc
+# (netloc = everything up to the first '/', '?' or '#'), matching
+# urlsplit's netloc delimiting exactly
+_NETLOC_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)")
+
+
 def host_of(url: str) -> str:
+    m = _NETLOC_RE.match(url)
+    if m:
+        netloc = m.group(1)
+        # hot path: no userinfo/port (the overwhelming majority)
+        if "@" not in netloc and ":" not in netloc:
+            return netloc.lower()
+        return netloc.split("@")[-1].split(":")[0].lower()
     return urlsplit(url).netloc.split("@")[-1].split(":")[0].lower()
 
 
 def path_of(url: str) -> str:
     """Ruby ``uri.request_uri``: path + '?' + query (path '' -> '/')."""
+    m = _NETLOC_RE.match(url)
+    if m:
+        rest = url[m.end() :]
+        f = rest.find("#")
+        if f >= 0:
+            rest = rest[:f]
+        if not rest:
+            return "/"
+        if rest[0] == "?":
+            return "/" + rest
+        return rest
     p = urlsplit(url)
     path = p.path or "/"
     return f"{path}?{p.query}" if p.query else path

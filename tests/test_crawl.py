@@ -168,8 +168,19 @@ def test_hooks_and_storable(ray_session, world_dir, tmp_path):
     wd, spec = world_dir
     cfg = CrawlConfig(depth_limit=1)
     eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    # seed a page whose links include a 404 (h5/p/37) so the
+    # unstorable path actually fires at depth 1
+    eng.seed(["http://h5.test/p/5", "http://h1.test/p/1"])
     downloaded = []
-    eng.on_page_downloaded(lambda t: downloaded.append(t.num_rows))
+    seen_cols = []
+    n_404 = []
+
+    def on_dl(t):
+        downloaded.append(t.num_rows)
+        seen_cols.append(t.column_names)
+        n_404.append(sum(1 for c in t["code"].to_pylist() if c == 404))
+
+    eng.on_page_downloaded(on_dl)
 
     def drop_404(batch):
         import numpy as np
@@ -183,8 +194,13 @@ def test_hooks_and_storable(ray_session, world_dir, tmp_path):
     eng.on_before_save(drop_404)
     eng.crawl()
     pt = eng.pages_table(columns=["code"])
-    assert sum(downloaded) == pt.num_rows
     assert 404 not in pt["code"].to_pylist()
+    # reference parity: hooks fire on EVERY processed page, including
+    # the unstorable 404s (polipus.rb:221-237)
+    assert sum(n_404) > 0
+    assert sum(downloaded) == pt.num_rows + sum(n_404)
+    # the driver never materializes payload bytes for hooks
+    assert all("bytes" not in cols for cols in seen_cols)
 
 
 def test_focus_crawl_and_domain_aliases(ray_session, world_dir, tmp_path):
@@ -220,6 +236,42 @@ def test_focus_crawl_and_domain_aliases(ray_session, world_dir, tmp_path):
     eng3.seed(seeds)
     eng3.crawl()
     assert "h12.test" not in {r["url"].split("/")[2] for r in eng3.pages_table(columns=["url"]).to_pylist()}
+
+
+def test_ua_sampling_and_cookie_jar(ray_session, world_dir, tmp_path):
+    # O6: per-request UA = ua[url_hash % len] (reference samples
+    # randomly per request, http.rb:84-90).  T4: per-host cookie jar —
+    # first request to a host sends no cookie, every later one sends
+    # the session cookie the simulated server set (http.rb:143-152).
+    import collections
+    import hashlib
+
+    from polipus_ray.urltools import url_hash64
+
+    wd, spec = world_dir
+    uas = ["bot-a/1.0", "bot-b/2.0", "bot-c/3.0"]
+    cfg = CrawlConfig(depth_limit=2, user_agent=uas, accept_cookies=True)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    eng.crawl()
+    pt = eng.pages_table(columns=["url", "host", "aliases", "ua", "cookies_sent", "round", "seq", "error"]).to_pylist()
+    assert len(pt) > 20
+    for r in pt:
+        # UA keyed by the REQUESTED url (first alias when redirected)
+        requested = r["aliases"][0] if r["aliases"] else r["url"]
+        assert r["ua"] == uas[url_hash64(requested) % len(uas)], r["url"]
+    by_host = collections.defaultdict(list)
+    for r in pt:
+        if not r["error"]:
+            by_host[r["host"]].append(r)
+    multi = 0
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: (r["round"], r["seq"]))
+        want = "sid=" + hashlib.md5(host.encode()).hexdigest()[:8]
+        assert rows[0]["cookies_sent"] == ""
+        for r in rows[1:]:
+            assert r["cookies_sent"] == want, (host, r)
+        multi += len(rows) > 1
+    assert multi > 3  # jars actually exercised across requests
 
 
 def test_plugin_protocol(ray_session, world_dir, tmp_path):

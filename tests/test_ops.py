@@ -105,6 +105,28 @@ def test_embedding_dup_pairs_vs_duckdb(ray_session):
     assert got == [tuple(w) for w in want]
 
 
+def test_embedding_lsh_recall_and_precision(ray_session):
+    from polipus_ray.ops.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    exact = {(r["a"], r["b"]) for r in embedding_dup_pairs(SF, threshold=0.42).take_all()}
+    lsh = {(r["a"], r["b"]) for r in embedding_dup_pairs_lsh(SF, threshold=0.42, band_bits=4).take_all()}
+    assert exact, "exact op should find pairs at this threshold"
+    # every LSH pair is verified-true (precision 1); recall bounded below
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
+
+
+def test_dedup_module_never_materializes_on_driver():
+    # VERDICT r01: no whole-dataset driver materialization in dedup ops
+    import inspect
+
+    import polipus_ray.ops.dedup as m
+
+    src = inspect.getsource(m)
+    assert "take_all" not in src
+    assert ".to_pandas()" not in src
+
+
 def test_ann_bruteforce_vs_numpy(ray_session):
     from polipus_ray.ops.ann import ann_topk_bruteforce
     from polipus_ray.ops.dedup import emb_matrix

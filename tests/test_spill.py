@@ -47,6 +47,22 @@ def test_capped_keeps_limit_plus_max(tmp_path):
     assert 14 <= sp.total_rows() <= 16
 
 
+def test_uniq_adapter_dedups_on_push(tmp_path):
+    # reference queue_overflow_spec: unique mode keeps 2 rows after 40
+    # duplicate pushes (mongo_queue.rb:30-32, 53-57)
+    import pyarrow as pa
+
+    sp = FrontierSpill(str(tmp_path), adapter="uniq", queue_items_limit=100)
+    for _ in range(20):
+        sp.append_table(pa.table({"url_hash": pa.array([111, 222], pa.int64()), "seq": pa.array([0, 1], pa.int64())}))
+    assert sp.total_rows() == 2
+    # state round-trip keeps the pushed set
+    sp2 = FrontierSpill(str(tmp_path), adapter="uniq", queue_items_limit=100)
+    sp2.load_state(sp.state())
+    sp2.append_table(pa.table({"url_hash": pa.array([111, 333], pa.int64()), "seq": pa.array([2, 3], pa.int64())}))
+    assert sp2.total_rows() == 3
+
+
 def test_gc_consumed_part_files(tmp_path):
     import os
 
