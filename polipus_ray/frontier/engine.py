@@ -350,6 +350,7 @@ class CrawlEngine:
         self._last_enqueued = None  # set by relaxed-order pool rounds
         self._last_keys = None  # narrow dedup keys from pool rounds
         self._last_unstorable = None  # narrow unstorable pages (hook parity)
+        self._last_phases = None  # per-phase driver timings (pool rounds)
         if local:
             cand = self._fetch_store_local(active_paths, round_dir, r, now)
         elif self.cfg.fetch_mode == "pool":
@@ -433,6 +434,7 @@ class CrawlEngine:
                 "spill_pending": self.spill.total_rows(),
                 "now": now,
                 "local": local,
+                "phases": {k: round(v, 4) for k, v in (self._last_phases or {}).items()},
             }
         )
         for p in self.plugins:
@@ -501,7 +503,12 @@ class CrawlEngine:
         extracts candidates."""
         import ray
 
+        import time as _time
+
+        ph: dict[str, float] = {}
+        s = _time.perf_counter()
         t = pa.concat_tables([pq.read_table(p) for p in active_paths])
+        ph["read_frontier"] = _time.perf_counter() - s
         actors = self._ensure_fetch_pool()
         W = len(actors)
         aid = self._bucket_lut[t["host_bucket"].to_numpy().astype(np.int64)]
@@ -518,7 +525,13 @@ class CrawlEngine:
             spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet")
             refs.append(actors[a].run_round_batch.remote(sub, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a))
             ref_actors.append(a)
+        s = _time.perf_counter()
         results = ray.get(refs)
+        ph["fetch_barrier"] = _time.perf_counter() - s
+        # max actor-side phase times (the barrier's critical path)
+        for res in results:
+            for k, v in (res.get("timings") or {}).items():
+                ph[f"actor_{k}_max"] = max(ph.get(f"actor_{k}_max", 0.0), v)
         self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
         ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]
         self._last_keys = pa.concat_tables(ks) if ks else None
@@ -535,8 +548,15 @@ class CrawlEngine:
                     self.spill.register_part(res["spill"]["path"], res["spill"]["rows"])
                     enq += res["spill"]["rows"]
             self._last_enqueued = enq
+            self._last_phases = ph
             return None
+        s = _time.perf_counter()
+        self._admit_phases = {}
         self._last_enqueued = self._admit_narrow_keys(results, ref_actors, actors, now)
+        ph["admit"] = _time.perf_counter() - s
+        for k, v in self._admit_phases.items():
+            ph[f"admit_{k}"] = v
+        self._last_phases = ph
         return None
 
     def _admit_narrow_keys(self, results: list[dict], ref_actors: list[int], actors: list, now: int) -> int:
@@ -565,6 +585,11 @@ class CrawlEngine:
             loc_l.append(np.arange(n, dtype=np.int64))
         if not uh_l:
             return 0
+        import time as _time
+
+        aph: dict[str, float] = {}
+        self._admit_phases = aph
+        s = _time.perf_counter()
         uh = np.concatenate(uh_l).astype(np.int64).view(np.uint64)
         hh = np.concatenate(hh_l).astype(np.int64).view(np.uint64)
         ps = np.concatenate(ps_l)
@@ -573,6 +598,8 @@ class CrawlEngine:
         loc = np.concatenate(loc_l)
         order = np.lexsort((li, ps))
         uh, hh, act, loc = uh[order], hh[order], act[order], loc[order]
+        aph["sort"] = _time.perf_counter() - s
+        s = _time.perf_counter()
         # tracker/TTL tail of should_be_visited? (same semantics as
         # stages.tracker_admit, on raw arrays)
         if self.cfg.ttl_page is not None:
@@ -581,6 +608,8 @@ class CrawlEngine:
         else:
             expired = np.zeros(len(uh), dtype=bool)
         seen = self.pool.check_and_add(uh, hh)
+        aph["tracker"] = _time.perf_counter() - s
+        s = _time.perf_counter()
         admit = expired | ~seen
         n_admit = int(admit.sum())
         if n_admit == 0:
@@ -595,6 +624,7 @@ class CrawlEngine:
         for spill in ray.get(refs):
             if spill:
                 self.spill.register_part(spill["path"], spill["rows"])
+        aph["emit"] = _time.perf_counter() - s
         return n_admit
 
     def warm_pool(self) -> None:

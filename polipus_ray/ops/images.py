@@ -31,8 +31,9 @@ class DecodeVerify:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, ok, phok, lum, npx = [], [], [], [], []
         stored_ph = batch["phash"].to_pylist() if "phash" in batch.column_names else [None] * batch.num_rows
+        id_vals = batch[self.id_col].to_pylist()  # decoded once, not per-row chained indexing
         for i, data in enumerate(batch["bytes"].to_pylist()):
-            ids.append(batch[self.id_col][i].as_py())
+            ids.append(id_vals[i])
             if data is None:
                 ok.append(False)
                 phok.append(False)
@@ -126,14 +127,92 @@ def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
     )
 
 
-def phash_neardup_keep_first(ds, id_col: str = "doc_id", max_hamming: int = 4):
+def _cc_losers_distributed(pairs, max_iters: int = 25):
+    """Connected components over the pair graph as iterated min-label
+    propagation — every step is a Ray Data join/groupby, nothing on
+    the driver.  Converges when the (monotone non-increasing) label
+    sum stops changing; returns a (loser:int64,) dataset of every
+    non-representative node."""
+    import logging
+
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64()), "nbr": pa.array(np.concatenate([b, a]), pa.int64())}
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def self_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "label": batch["node"]})
+
+    def rename_min(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "label": batch["min(label)"]})
+
+    labels = (
+        edges.map_batches(self_label, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label"))
+        .map_batches(rename_min, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = None
+    for it in range(max_iters):
+        nbr = edges.join(labels, join_type="inner", num_partitions=8, on=("nbr",), right_on=("node",), right_suffix="_l")
+        # nbr columns: node, nbr, label (the neighbor's label)
+        prop = nbr.select_columns(["node", "label"]).union(labels)
+        labels = prop.groupby("node").aggregate(Min("label")).map_batches(rename_min, batch_format="pyarrow").materialize()
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        logging.getLogger(__name__).warning("label propagation hit max_iters=%d without converging", max_iters)
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        keep = batch["label"].to_numpy() != batch["node"].to_numpy()
+        return pa.table({"loser": batch.filter(pa.array(keep))["node"]})
+
+    return labels.map_batches(losers_only, batch_format="pyarrow")
+
+
+def phash_neardup_keep_first(ds, id_col: str = "doc_id", max_hamming: int = 4, driver_pair_limit: int = 1_000_000):
     """Near-dup suppression (SURVEY.md §2 A5): connected components
     over the near-dup pair graph, keep the min-id representative of
-    each component.  Pairs are few (narrow groupby output), so the
-    union-find runs driver-side; returns (id, keep) for every input
-    id.  At extreme pair counts swap for iterated min-label
-    propagation via groupby."""
-    pairs = phash_neardup_pairs(ds, id_col, max_hamming).take_all()
+    each component; returns (id, keep) for every input id.
+
+    Two component paths behind one fast pair-count check: below
+    ``driver_pair_limit`` pairs, a driver-side union-find (exact,
+    cheap — pair sets are narrow groupby output); above it, fully
+    distributed min-label propagation + an anti-join-style mark, so
+    no pair set ever has to fit on the driver."""
+    pairs = phash_neardup_pairs(ds, id_col, max_hamming).materialize()
+    if pairs.count() > driver_pair_limit:
+        losers_ds = _cc_losers_distributed(pairs)
+
+        # a loser-side marker column makes null-ness observable after
+        # the left_outer join (keepers have no matching loser row)
+        def add_marker(batch: pa.Table) -> pa.Table:
+            return pa.table({"loser": batch["loser"], "marker": pa.array(np.ones(batch.num_rows, dtype=bool))})
+
+        def mark_joined(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.is_null(batch["marker"]).to_numpy(zero_copy_only=False)
+            return pa.table({id_col: batch[id_col], "keep": pa.array(keep, pa.bool_())})
+
+        j = ds.select_columns([id_col]).join(
+            losers_ds.map_batches(add_marker, batch_format="pyarrow"),
+            join_type="left_outer",
+            num_partitions=8,
+            on=(id_col,),
+            right_on=("loser",),
+        )
+        return j.map_batches(mark_joined, batch_format="pyarrow")
+    rows = pairs.take_all()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -142,7 +221,7 @@ def phash_neardup_keep_first(ds, id_col: str = "doc_id", max_hamming: int = 4):
             x = parent[x]
         return x
 
-    for r in pairs:
+    for r in rows:
         ra, rb = find(r["a"]), find(r["b"])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)

@@ -39,8 +39,9 @@ class ImageResize:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, blobs, ws, hs, fmts = [], [], [], [], []
+        id_vals = batch[self.id_col].to_pylist()  # decoded once per batch
         for i, data in enumerate(batch["bytes"].to_pylist()):
-            ids.append(batch[self.id_col][i].as_py())
+            ids.append(id_vals[i])
             if data is None:
                 blobs.append(None)
                 ws.append(None)
@@ -105,8 +106,9 @@ class AudioDecode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, rates, ns, rms = [], [], [], []
+        id_vals = batch[self.id_col].to_pylist()  # decoded once per batch
         for i, data in enumerate(batch["bytes"].to_pylist()):
-            ids.append(batch[self.id_col][i].as_py())
+            ids.append(id_vals[i])
             rate, samples = self._decode_audio_impl(data)
             rates.append(rate)
             ns.append(len(samples))
@@ -154,8 +156,9 @@ class VideoFrameSample:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, blobs = [], [], []
+        id_vals = batch[self.id_col].to_pylist()  # decoded once per batch
         for i, data in enumerate(batch["bytes"].to_pylist()):
-            vid = batch[self.id_col][i].as_py()
+            vid = id_vals[i]
             frames = self._decode_video_impl(data)
             for j in range(0, len(frames), self.every_k):
                 ids.append(vid)

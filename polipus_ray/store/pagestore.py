@@ -88,13 +88,33 @@ class ParquetPageStore(PageStore):
             pq.write_table(sub, os.path.join(bd, "part-0.parquet"), compression="zstd")
         self._lance_mirror(table)
 
+    @property
+    def lance_path(self) -> str:
+        return os.path.join(self.root, "pages.lance")
+
     def _lance_mirror(self, table: pa.Table) -> None:
+        """Mirror the round into a Lance dataset when the package is
+        importable (the input_hint's native format).  Import-gated: the
+        test container has no lance wheel, so tests exercise this path
+        through a parquet-backed stub module (tests/test_store.py) and
+        real deployments get a true Lance dataset."""
         try:
             import lance
-
-            lance.write_dataset(table, os.path.join(self.root, "pages.lance"), mode="append")
         except ImportError:
-            pass
+            return
+        mode = "append" if os.path.exists(self.lance_path) else "create"
+        lance.write_dataset(table, self.lance_path, mode=mode)
+
+    def lance_dataset(self):
+        """Open the Lance mirror (None when lance is unavailable or
+        nothing was mirrored)."""
+        try:
+            import lance
+        except ImportError:
+            return None
+        if not os.path.exists(self.lance_path):
+            return None
+        return lance.dataset(self.lance_path)
 
     def files(self) -> list[str]:
         return sorted(glob.glob(os.path.join(self.root, "round=*", "**", "*.parquet"), recursive=True))

@@ -216,3 +216,11 @@ def test_decode_stage_and_phash_neardup(ray_session, tmp_path):
     assert len(dropped & nd) >= len(nd) * 0.9
     keep_ids = set(marked[marked.keep]["doc_id"])
     assert 0 in keep_ids
+    # the distributed components path (label propagation + anti-mark
+    # join) must agree with the driver union-find exactly
+    marked2 = phash_neardup_keep_first(
+        ray.data.from_arrow(web.select(["doc_id", "phash"])), id_col="doc_id", driver_pair_limit=0
+    ).to_pandas()
+    got2 = dict(zip(marked2["doc_id"], marked2["keep"]))
+    got1 = dict(zip(marked["doc_id"], marked["keep"]))
+    assert got1 == got2
