@@ -86,15 +86,17 @@ class CrawlConfig:
     phash_scales: int = 1
     simulate_politeness_wall_clock: bool = False  # if True, fetcher really sleeps
     checkpoint: bool = True
-    # True (default): candidates stream through the driver for global
-    #   FIFO seq assignment — crawl order matches the reference
-    #   byte-for-byte (the ordering oracle).  False: each fetch actor
-    #   admits + spills its own candidates (tracker probe + seq
-    #   assignment in-actor, seq = (round, actor, idx) composite) —
-    #   the cluster-scale path: stored set / seen set / per-round
-    #   depth order are unchanged, only the intra-round total order
-    #   is approximate.  See BASELINE.md for the measured scaling of
-    #   both modes.
+    # True (default): global FIFO seq assignment — crawl order matches
+    #   the reference byte-for-byte (the ordering oracle).  Since r2
+    #   this is ALSO cluster-friendly: only 28-byte narrow keys
+    #   (hashes + ordering) cross the driver; candidate rows stay in
+    #   the fetch actors, which write their own frontier parts after
+    #   the driver sends back admitted positions + seqs.
+    # False: each fetch actor admits + spills its own candidates
+    #   (tracker probe + seq assignment in-actor, composite seq) — no
+    #   driver participation at all: stored set / seen set / per-round
+    #   depth order unchanged, intra-round total order approximate.
+    # See BASELINE.md for the measured scaling of both modes.
     deterministic_order: bool = True
     # 'pool': persistent fetch-actor pool, fixed bucket->actor affinity,
     #   politeness clocks + web-bucket cache persist across rounds, link

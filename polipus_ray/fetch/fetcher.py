@@ -553,32 +553,39 @@ class Fetcher:
         """Decode each image payload and verify the stored perceptual
         hash (per-row decoded-pixel invariant, SURVEY.md M15).  With
         ``phash_scales > 1`` also fingerprints downsampled scales (a
-        multi-scale fingerprint pyramid)."""
-        import numpy as np
-
-        from ..synth.images import decode_image, phash64
+        multi-scale fingerprint pyramid).  Vectorized: images are
+        grouped by shape and hashed as batched GEMMs (phash64_batch is
+        bit-identical to the scalar phash64)."""
+        from ..synth.images import decode_image, phash64_batch
 
         scales = max(1, int(self.cfg.phash_scales))
         ph = pages["phash"].to_pylist()
-        ok = []
-        for i, data in enumerate(pages["bytes"].to_pylist()):
+        blobs = pages["bytes"].to_pylist()
+        n = len(blobs)
+        ok = np.zeros(n, dtype=bool)
+        groups: dict[tuple[int, int], tuple[list[int], list[np.ndarray]]] = {}
+        for i, data in enumerate(blobs):
             if data is None:
-                ok.append(False)
                 continue
             try:
                 px, _, _, _ = decode_image(data)
             except (ValueError, NotImplementedError):
-                ok.append(False)
                 continue
-            want = ph[i]
-            got = phash64(px)
+            g = groups.setdefault(px.shape[:2], ([], []))
+            g[0].append(i)
+            g[1].append(px)
+        for (h, w), (idxs, pxs) in groups.items():
+            stack = np.stack(pxs)
+            got = phash64_batch(stack)
             for s in range(1, scales):
                 side = max(4, 32 >> s)
-                yi = (np.arange(side) * px.shape[0] // side).astype(np.int64)
-                xi = (np.arange(side) * px.shape[1] // side).astype(np.int64)
-                phash64(px[np.ix_(yi, xi)])  # pyramid levels (fingerprint work)
-            ok.append(want is None or got == (want + (1 << 64) if want < 0 else want))
-        return pages.append_column("payload_ok", pa.array(ok, pa.bool_()))
+                yi = (np.arange(side) * h // side).astype(np.int64)
+                xi = (np.arange(side) * w // side).astype(np.int64)
+                phash64_batch(stack[:, yi[:, None], xi[None, :], :])  # pyramid levels (fingerprint work)
+            for k, i in enumerate(idxs):
+                want = ph[i]
+                ok[i] = want is None or int(got[k]) == (want + (1 << 64) if want < 0 else want)
+        return pages.append_column("payload_ok", pa.array(ok.tolist(), pa.bool_()))
 
     def preload(self, buckets: list[int]) -> int:
         """Warm this actor: load its web buckets (pool warm-up)."""

@@ -380,6 +380,9 @@ class CrawlEngine:
         # hooks fire on every processed page (polipus.rb:221-237).
         if self._on_page_error or self._on_page_downloaded:
             extras = [t for t in (self._last_unstorable or []) if t is not None and t.num_rows]
+            unst_dir = os.path.join(self.run_dir, "unstorable", f"round={r}")
+            if os.path.isdir(unst_dir):  # dataset-mode spool
+                extras += [pq.read_table(f) for f in glob.glob(os.path.join(unst_dir, "*.parquet"))]
             tables = []
             if page_files and (stored_rows or error_rows):
                 if self.cfg.hook_columns is not None:
@@ -596,7 +599,14 @@ class CrawlEngine:
         li = np.concatenate(li_l)
         act = np.concatenate(act_l)
         loc = np.concatenate(loc_l)
-        order = np.lexsort((li, ps))
+        # single-key sort on a (parent_seq << 16 | link_idx) composite
+        # is ~2x a two-key lexsort; fall back when either overflows
+        li64 = li.astype(np.int64)
+        ps64 = ps.astype(np.int64)
+        if len(ps64) and ps64.max() < (1 << 47) and li64.max() < (1 << 16) and ps64.min() >= 0:
+            order = np.argsort((ps64 << 16) | li64, kind="stable")
+        else:
+            order = np.lexsort((li, ps))
         uh, hh, act, loc = uh[order], hh[order], act[order], loc[order]
         aph["sort"] = _time.perf_counter() - s
         s = _time.perf_counter()
@@ -669,9 +679,14 @@ class CrawlEngine:
             num_cpus=0.5,
         )
         if self._on_before_save:
+            from .stages import make_filter_storable_spool
+
+            unst_dir = os.path.join(self.run_dir, "unstorable", f"round={r}")
+            shutil.rmtree(unst_dir, ignore_errors=True)
+            os.makedirs(unst_dir, exist_ok=True)
             for fn in self._on_before_save:
                 pages = pages.map_batches(fn, batch_format="pyarrow", batch_size=8192)
-            pages = pages.map_batches(filter_storable, batch_format="pyarrow", batch_size=8192)
+            pages = pages.map_batches(make_filter_storable_spool(unst_dir, self.cfg.storage_except), batch_format="pyarrow", batch_size=8192)
             if self.cfg.storage != "devnull":
                 pages = pages.map_batches(make_mark_stored(self.pool), batch_format="pyarrow", batch_size=8192)
         if self.cfg.storage_except:

@@ -231,3 +231,28 @@ def filter_storable(batch: pa.Table) -> pa.Table:
         return batch
     mask = np.asarray(batch["storable"].to_numpy(zero_copy_only=False), dtype=bool)
     return batch.filter(pa.array(mask))
+
+
+def make_filter_storable_spool(unstorable_dir: str, storage_except: list[str] | None):
+    """filter_storable for the pure-Dataset execution path: storable
+    rows pass through; unstorable rows are spooled (bytes-free) to a
+    side directory so driver-side page hooks still see them
+    (reference fires hooks on every processed page, polipus.rb:221-237)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if "storable" not in batch.column_names or batch.num_rows == 0:
+            return batch
+        mask = np.asarray(batch["storable"].to_numpy(zero_copy_only=False), dtype=bool)
+        if not mask.all():
+            import os
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            un = batch.filter(pa.array(~mask))
+            drop = set(storage_except or ()) | {"bytes"}
+            un = un.drop_columns([c for c in drop if c in un.column_names])
+            pq.write_table(un, os.path.join(unstorable_dir, f"part-{uuid.uuid4().hex}.parquet"), compression="zstd")
+        return batch.filter(pa.array(mask))
+
+    return fn

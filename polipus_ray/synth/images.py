@@ -98,6 +98,25 @@ def phash64(pixels: np.ndarray) -> int:
     return out
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def phash64_batch(pixels4: np.ndarray) -> np.ndarray:
+    """Vectorized phash64 over a stack of SAME-SHAPE images
+    (N, h, w, 3) uint8 -> (N,) uint64.  Bit-identical to per-image
+    phash64 (same op order; pinned by test_synth)."""
+    n, h, w, _ = pixels4.shape
+    gray = pixels4.astype(np.float64) @ _LUMA  # (N, h, w)
+    yi = (np.arange(32) * h // 32).astype(np.int64)
+    xi = (np.arange(32) * w // 32).astype(np.int64)
+    small = gray[:, yi[:, None], xi[None, :]]  # (N, 32, 32)
+    coef = (_DCT32 @ small) @ _DCT32.T  # batched GEMMs
+    block = coef[:, :8, :8].reshape(n, 64)
+    med = np.median(block, axis=1, keepdims=True)
+    bits = (block > med).astype(np.uint8)
+    return np.packbits(bits, axis=1).view(">u8").reshape(n).astype(np.uint64)
+
+
 def phash_batch(datas: list[bytes]) -> np.ndarray:
     """Decode + phash a batch of encoded images -> uint64 array."""
     return np.array([phash64(decode_image(d)[0]) for d in datas], dtype=np.uint64)

@@ -203,6 +203,39 @@ def test_hooks_and_storable(ray_session, world_dir, tmp_path):
     assert all("bytes" not in cols for cols in seen_cols)
 
 
+def test_hooks_dataset_mode_unstorable(ray_session, world_dir, tmp_path):
+    # pure-Dataset execution path: unstorable rows are spooled by the
+    # filter stage and still reach on_page_downloaded, bytes-free
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=1, fetch_mode="dataset", small_round_threshold=0)
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    eng.seed(["http://h5.test/p/5"])  # links include the 404 h5/p/37
+    counts, cols404 = [], []
+
+    def on_dl(t):
+        counts.append(t.num_rows)
+        cols404.append((sum(1 for c in t["code"].to_pylist() if c == 404), t.column_names))
+
+    eng.on_page_downloaded(on_dl)
+
+    def drop_404(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        storable = np.asarray(batch["storable"].to_numpy(zero_copy_only=False), dtype=bool)
+        storable &= ~(code == 404)
+        return batch.set_column(batch.schema.get_field_index("storable"), "storable", pa.array(storable))
+
+    eng.on_before_save(drop_404)
+    eng.crawl()
+    pt = eng.pages_table(columns=["code"])
+    assert 404 not in pt["code"].to_pylist()
+    n404 = sum(c for c, _ in cols404)
+    assert n404 > 0 and sum(counts) == pt.num_rows + n404
+    assert all("bytes" not in cn for _, cn in cols404)
+
+
 def test_focus_crawl_and_domain_aliases(ray_session, world_dir, tmp_path):
     wd, spec = world_dir
     # focus_crawl replaces link extraction (reference polipus.rb:316-319):
