@@ -37,7 +37,7 @@ WORLD_ROOT = "/tmp/polipus_ray_bench"
 def ensure_world() -> str:
     import ray
 
-    key = f"{os.path.basename(os.path.abspath(SF_DIR))}-{N_PAGES}-v2"  # v2: base_href column
+    key = f"{os.path.basename(os.path.abspath(SF_DIR))}-{N_PAGES}-v3"  # v3: expander links
     out = os.path.join(WORLD_ROOT, key)
     if os.path.exists(os.path.join(out, "world.json")):
         return out
@@ -45,9 +45,10 @@ def ensure_world() -> str:
     from polipus_ray.synth.world import WorldSpec
 
     # wide-fanout spec: out_degree 8 with 256 hosts/seeds gives 8x wave
-    # growth AND smooth bucket->actor load (64 hosts over hash buckets
-    # skewed 6x; 256 hosts over 256 buckets averages out)
-    spec = WorldSpec(hosts=256, out_degree=8, num_seeds=256, redirect_mod=23)
+    # growth AND smooth bucket->actor load; expander_links makes the
+    # frontier fan out like a real crawl (out_degree^depth) instead of
+    # a narrow doc-id wavefront — BFS depth ~log(N), waves ~1M+ wide
+    spec = WorldSpec(hosts=256, out_degree=8, num_seeds=256, redirect_mod=23, expander_links=True)
     write_world_ray(out, os.path.join(SF_DIR, "documents.parquet"), N_PAGES, spec=spec, num_buckets=256)
     return out
 

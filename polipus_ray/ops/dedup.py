@@ -102,16 +102,19 @@ def exact_dedup(sf_dir: str):
     """Keep min doc_id per exact text hash.  Oracle-SQL-checked."""
     import ray.data
 
+    from ray.data.aggregate import Min
+
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"], "text_hash": pa.array(hs, pa.string())})
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        i = int(np.argmin(group["doc_id"].to_numpy()))
-        return group.take(pa.array([i]))
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"text_hash": batch["text_hash"], "doc_id": batch["min(doc_id)"]})
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("text_hash").map_groups(keep_first, batch_format="pyarrow")
+    # vectorized hash aggregate (one python call per BLOCK, not per
+    # group — map_groups would pay a call per distinct hash)
+    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("text_hash").aggregate(Min("doc_id")).map_batches(rename, batch_format="pyarrow")
 
 
 def _pairs_from_group(ids: np.ndarray) -> list[tuple[int, int]]:
@@ -126,10 +129,14 @@ def _pairs_from_group(ids: np.ndarray) -> list[tuple[int, int]]:
 
 
 def _dedup_pairs_ds(pairs_ds):
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    """Distinct (a, b) pairs via a vectorized count aggregate (one
+    call per block) rather than map_groups (one python call per pair)."""
+    from ray.data.aggregate import Count
 
-    return pairs_ds.groupby(["a", "b"]).map_groups(first, batch_format="pyarrow")
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
+
+    return pairs_ds.groupby(["a", "b"]).aggregate(Count()).map_batches(drop_count, batch_format="pyarrow")
 
 
 def _docs_read(sf_dir: str):

@@ -66,8 +66,7 @@ def write_world_ray(
             if code[j] != 200 or n_eff == 0:
                 links.append([])
                 continue
-            stride = 1 + ((ii // H) % 64)
-            ls = [spec.url_of((ii + k * H * stride) % n_eff) for k in range(1, spec.out_degree + 1)]
+            ls = [spec.url_of(t) for t in spec.link_targets(ii, n_eff)]
             if spec.cross_mod and ii % spec.cross_mod == 0:
                 ls.append(spec.url_of((ii + 1) % n_eff))
             links.append(ls)

@@ -76,6 +76,14 @@ class WorldSpec:
     # same canonical target (relative path, #fragment, %-encoded char,
     # duplicate) — exercises M3 canonicalization + per-page Set dedup
     messy_links: bool = False
+    # expander link topology: stride is a hash-mix over the host's
+    # full residue class instead of `(i//H) % 64`.  The default
+    # bounded stride makes BFS a narrow WAVEFRONT over doc-id space
+    # (width ~ H*64*out_degree), which at bench scale forces dozens of
+    # sequential ~100k-row waves; hash-mixed strides fan out like a
+    # real crawl frontier (out_degree^depth), so the same page count
+    # crawls in ~log_d(N) wide waves.  Same-host invariant unchanged.
+    expander_links: bool = False
     # rows with i % base_href_mod == 3 carry a <base href> override and
     # links relative to it (M7); 0 = off
     base_href_mod: int = 0
@@ -96,6 +104,20 @@ class WorldSpec:
 
     def url_of(self, i: int) -> str:
         return f"http://h{i % self.hosts}.test/p/{i}"
+
+    def link_targets(self, ii: int, n_eff: int) -> list[int]:
+        """Same-host link targets of page ii (both graph modes keep
+        ``target ≡ ii (mod hosts)`` so the in-domain filter M8 keeps
+        exactly this arithmetic graph)."""
+        H = self.hosts
+        if self.expander_links:
+            cls = max(2, n_eff // H)
+            return [
+                (ii + H * (1 + ((ii // H) * 2654435761 + k * 2246822519) % (cls - 1))) % n_eff
+                for k in range(1, self.out_degree + 1)
+            ]
+        stride = 1 + ((ii // H) % 64)
+        return [(ii + k * H * stride) % n_eff for k in range(1, self.out_degree + 1)]
 
 
 def robots_bodies(spec: WorldSpec) -> dict[str, str]:
@@ -209,8 +231,7 @@ def make_web_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec(), wit
         if code[j] != 200 or n_eff == 0:
             links.append([])
             continue
-        stride = 1 + ((ii // H) % 64)
-        targets = [(ii + k * H * stride) % n_eff for k in range(1, spec.out_degree + 1)]
+        targets = spec.link_targets(ii, n_eff)
         if spec.base_href_mod and ii % spec.base_href_mod == 3:
             # base override: links written relative to <base href> (M7)
             base_href[j] = f"http://{hosts[j]}/p/"
