@@ -402,13 +402,29 @@ class Fetcher:
             if not keep.all():
                 deferred = batch.filter(pa.array(~keep))
                 batch = batch.filter(pa.array(keep))
-        s = time.perf_counter()
-        pages = self(batch)
-        tm["fetch"] = time.perf_counter() - s
-        if self.cfg.verify_payload and pages.num_rows:
+        # process in bounded sub-batches: a 60k-row actor share as ONE
+        # __call__ builds millions of transient python objects (GC /
+        # allocator pressure measurably raises per-row cost); slices of
+        # fetch_batch_size keep the per-page cost flat.  Sorting once
+        # by (priority, seq) before slicing preserves the exact
+        # politeness/FIFO processing order of the unsliced path.
+        B = max(1024, int(self.cfg.fetch_batch_size or 4096))
+        if batch.num_rows > B:
+            order = np.lexsort((batch["seq"].to_numpy(), batch["priority"].to_numpy()))
+            batch = batch.take(pa.array(order))
+        parts = []
+        tm["fetch"] = tm["verify"] = 0.0
+        for off in range(0, max(batch.num_rows, 1), B):
+            sub = batch.slice(off, B)
             s = time.perf_counter()
-            pages = self._verify_payloads(pages)
-            tm["verify"] = time.perf_counter() - s
+            p = self(sub)
+            tm["fetch"] += time.perf_counter() - s
+            if self.cfg.verify_payload and p.num_rows:
+                s = time.perf_counter()
+                p = self._verify_payloads(p)
+                tm["verify"] += time.perf_counter() - s
+            parts.append(p)
+        pages = parts[0] if len(parts) == 1 else pa.concat_tables(parts).combine_chunks()
         unstorable = None
         if self._before_save_hooks:
             for fn in self._before_save_hooks:
@@ -500,8 +516,19 @@ class Fetcher:
                         "user_data": pa.array(["{}"] * n, pa.string()),
                     }
                 )
-                pq.write_table(ft, spill_path, compression="lz4")
-                spill = {"path": spill_path, "rows": n}
+                # CHUNKED spill parts: links stay mostly same-host, so
+                # one big part per actor routes back to one actor; when
+                # the active-slice cap cuts the FIFO mid-round, whole-
+                # actor parts would concentrate a round's leftover on
+                # few actors (14x skew measured).  Small parts +
+                # round-robin registration (engine side) keep any cut
+                # boundary spread across the pool.
+                spill = []
+                for off in range(0, n, 16384):
+                    chunk = ft.slice(off, 16384)
+                    cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
+                    pq.write_table(chunk, cp, compression="lz4")
+                    spill.append({"path": cp, "rows": chunk.num_rows})
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
         return {
@@ -574,17 +601,24 @@ class Fetcher:
             g = groups.setdefault(px.shape[:2], ([], []))
             g[0].append(i)
             g[1].append(px)
+        # chunked: the float64 DCT pyramid of a whole 60k-row round
+        # would peak ~2 GB per actor (x W actors = memory-pressure
+        # stalls); 2048-image chunks keep the peak ~70 MB with the
+        # same vectorization win
+        CHUNK = 2048
         for (h, w), (idxs, pxs) in groups.items():
-            stack = np.stack(pxs)
-            got = phash64_batch(stack)
-            for s in range(1, scales):
-                side = max(4, 32 >> s)
-                yi = (np.arange(side) * h // side).astype(np.int64)
-                xi = (np.arange(side) * w // side).astype(np.int64)
-                phash64_batch(stack[:, yi[:, None], xi[None, :], :])  # pyramid levels (fingerprint work)
-            for k, i in enumerate(idxs):
-                want = ph[i]
-                ok[i] = want is None or int(got[k]) == (want + (1 << 64) if want < 0 else want)
+            for off in range(0, len(idxs), CHUNK):
+                stack = np.stack(pxs[off : off + CHUNK])
+                got = phash64_batch(stack)
+                for s in range(1, scales):
+                    side = max(4, 32 >> s)
+                    yi = (np.arange(side) * h // side).astype(np.int64)
+                    xi = (np.arange(side) * w // side).astype(np.int64)
+                    phash64_batch(stack[:, yi[:, None], xi[None, :], :])  # pyramid levels (fingerprint work)
+                for k in range(len(got)):
+                    i = idxs[off + k]
+                    want = ph[i]
+                    ok[i] = want is None or int(got[k]) == (want + (1 << 64) if want < 0 else want)
         return pages.append_column("payload_ok", pa.array(ok.tolist(), pa.bool_()))
 
     def preload(self, buckets: list[int]) -> int:

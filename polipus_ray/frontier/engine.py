@@ -520,6 +520,7 @@ class CrawlEngine:
         relaxed = not self.cfg.deterministic_order
         refs = []
         ref_actors = []
+        sizes = []
         for a in range(W):
             lo, hi = bounds[a], bounds[a + 1]
             if lo == hi:
@@ -528,6 +529,10 @@ class CrawlEngine:
             spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet")
             refs.append(actors[a].run_round_batch.remote(sub, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a))
             ref_actors.append(a)
+            sizes.append(hi - lo)
+        if sizes:
+            ph["rows_max"] = float(max(sizes))
+            ph["rows_mean"] = float(sum(sizes) / len(sizes))
         s = _time.perf_counter()
         results = ray.get(refs)
         ph["fetch_barrier"] = _time.perf_counter() - s
@@ -545,11 +550,21 @@ class CrawlEngine:
             if d is not None and d.num_rows:
                 self.spill.append_table(d)
         if relaxed:
+            # round-robin interleave of the actors' chunked spill
+            # parts: any later active-slice cut boundary then spreads
+            # the leftover across the pool instead of concentrating on
+            # the last few actors' (same-host-destined) parts
             enq = 0
-            for res in results:
-                if res.get("spill"):
-                    self.spill.register_part(res["spill"]["path"], res["spill"]["rows"])
-                    enq += res["spill"]["rows"]
+            per_actor = [list(res["spill"]) for res in results if res.get("spill")]
+            while per_actor:
+                nxt = []
+                for parts in per_actor:
+                    p = parts.pop(0)
+                    self.spill.register_part(p["path"], p["rows"])
+                    enq += p["rows"]
+                    if parts:
+                        nxt.append(parts)
+                per_actor = nxt
             self._last_enqueued = enq
             self._last_phases = ph
             return None

@@ -130,18 +130,47 @@ def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 1
 
     def link_extractor(batch: pa.Table) -> pa.Table:
         urls, hosts, urlh, hosth, buckets, refs, depths, pseqs, lidx = [], [], [], [], [], [], [], [], []
-        rows = batch.to_pylist()
-        for r in rows:
-            if r.get("error"):
+        # column lists, not to_pylist() row dicts (a dict per row is
+        # the measured hot cost at 60k-row batches)
+        c_err = batch["error"].to_pylist()
+        c_depth = batch["depth"].to_pylist()
+        c_ct = batch["content_type"].to_pylist()
+        c_links = batch["links"].to_pylist()
+        c_url = batch["url"].to_pylist()
+        c_host = batch["host"].to_pylist()
+        c_base = batch["base_href"].to_pylist() if "base_href" in batch.column_names else [None] * batch.num_rows
+        c_seq = batch["seq"].to_pylist()
+        c_code = batch["code"].to_pylist() if (focus_crawl is not None and "code" in batch.column_names) else None
+        # host hash/bucket memo: pages cluster on few hosts per batch
+        hh_cache: dict[str, tuple[int, int]] = {}
+        for j in range(batch.num_rows):
+            if c_err[j]:
                 continue
-            if not cfg.depth_allowed(r["depth"]):
+            depth = c_depth[j]
+            if not cfg.depth_allowed(depth):
                 continue
-            if not _HTML_RE.search(r.get("content_type") or ""):
+            if not _HTML_RE.search(c_ct[j] or ""):
                 continue  # links parsed only from HTML-ish pages (page.rb:87,126)
-            raw_links = focus_crawl(r) if focus_crawl is not None else (r["links"] or [])
-            page_url = r["url"]
-            page_host = r["host"]
-            resolve_base = r.get("base_href") or page_url  # <base href> override (M7, page.rb:157-165)
+            if focus_crawl is not None:
+                # user hook receives the PAGE_NARROW row dict
+                raw_links = focus_crawl(
+                    {
+                        "url": c_url[j],
+                        "host": c_host[j],
+                        "links": c_links[j],
+                        "depth": depth,
+                        "seq": c_seq[j],
+                        "code": c_code[j] if c_code is not None else None,
+                        "content_type": c_ct[j],
+                        "error": c_err[j],
+                        "base_href": c_base[j],
+                    }
+                )
+            else:
+                raw_links = c_links[j] or []
+            page_url = c_url[j]
+            page_host = c_host[j]
+            resolve_base = c_base[j] or page_url  # <base href> override (M7, page.rb:157-165)
             seen_local: set[str] = set()
             li = 0
             for raw in raw_links:
@@ -157,12 +186,16 @@ def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 1
                 urls.append(c)
                 hosts.append(h)
                 urlh.append(_i64(url_hash64(c, inc)))
-                hh = host_hash64(h)
-                hosth.append(_i64(hh))
-                buckets.append(hh % num_buckets)
+                got = hh_cache.get(h)
+                if got is None:
+                    hh = host_hash64(h)
+                    got = (_i64(hh), hh % num_buckets)
+                    hh_cache[h] = got
+                hosth.append(got[0])
+                buckets.append(got[1])
                 refs.append(page_url)
-                depths.append(r["depth"] + 1)
-                pseqs.append(r["seq"])
+                depths.append(depth + 1)
+                pseqs.append(c_seq[j])
                 lidx.append(li)
                 li += 1
         t = pa.table(
