@@ -137,6 +137,44 @@ def run_once() -> dict:
     return result
 
 
+def _cpu_control(nproc: int) -> float:
+    """Per-task seconds of a fixed numpy kernel at ``nproc``-way
+    concurrency.  On this shared box, all-core turbo/contention slows
+    each core as more run (measured ~1.45x from 8 to 32 busy cores),
+    which caps the best POSSIBLE same-machine scaling efficiency at
+    c_lo / c_hi regardless of software: T_lo/T_hi = (c_lo/lo)/(c_hi/hi)
+    => efficiency ceiling = c_lo/c_hi.  On a real N-vs-4N NODE cluster
+    every node runs at the same point on that curve, so the ceiling is
+    1.0 and this proxy UNDERSTATES node scaling; both raw and
+    ceiling-normalized efficiency are reported."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    os.environ["OMP_NUM_THREADS"] = "1"  # children: one BLAS thread each
+    ctx = mp.get_context("spawn")  # clean interpreters (no post-ray fork state)
+    best = None
+    for _ in range(2):  # min-of-2: noise is one-sided
+        with ctx.Pool(nproc) as p:
+            ts = p.map(_ctrl_work, [0] * nproc)
+        m = float(np.mean(ts))
+        best = m if best is None else min(best, m)
+    return best
+
+
+def _ctrl_work(_):
+    import numpy as np
+
+    D = np.random.default_rng(1).standard_normal((32, 32))
+    s = np.random.default_rng(2).standard_normal((512, 32, 32))
+    t0 = time.perf_counter()
+    for _ in range(30):
+        c = (D @ s) @ D.T
+        b = c[:, :8, :8].reshape(512, 64)
+        np.median(b, axis=1)
+    return time.perf_counter() - t0
+
+
 def run_scaling() -> dict:
     # scaling uses a larger world than the per-round bench: BFS depth
     # grows only logarithmically with size, so a bigger crawl raises
@@ -160,10 +198,18 @@ def run_scaling() -> dict:
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo, r_hi = sub(lo), sub(hi)
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+    # min over repetitions: machine noise (page cache, background IO)
+    # is one-sided — it only ever makes a run slower
+    rs_lo = [sub(lo) for _ in range(reps)]
+    rs_hi = [sub(hi) for _ in range(reps)]
+    r_lo = min(rs_lo, key=lambda r: r["value"])
+    r_hi = min(rs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    c_lo, c_hi = _cpu_control(lo), _cpu_control(hi)
+    ceiling = c_lo / c_hi  # same-machine frequency/contention ceiling
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -172,6 +218,8 @@ def run_scaling() -> dict:
         f"sec_{hi}": t_hi,
         f"urls_per_sec_{lo}": r_lo["urls_per_sec"],
         f"urls_per_sec_{hi}": r_hi["urls_per_sec"],
+        "cpu_control_ceiling": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
         "sf": SF_DIR,
         "web_pages": N_PAGES,
     }

@@ -217,7 +217,12 @@ class CrawlEngine:
         if self._web_refs is None:
             import ray
 
-            @ray.remote(num_cpus=0.5)
+            # num_cpus=0: the broadcast reads are short IO+decompress
+            # tasks and MUST stay schedulable after the fetch-actor
+            # pool has reserved nearly all CPUs — with a reservation
+            # they deadlock small clusters (4 actors x 0.9 on 4 CPUs
+            # leaves 0.4 < the task's share; preload then waits forever)
+            @ray.remote(num_cpus=0)
             def _read_bucket(files: list[str]) -> pa.Table:
                 return pa.concat_tables([pq.read_table(f, columns=_FETCH_COLUMNS) for f in files]).combine_chunks()
 
@@ -586,7 +591,14 @@ class CrawlEngine:
         actor's emit_frontier() with its admitted positions + seqs —
         the actor writes its own spill part.  Candidate strings never
         cross the driver; byte-identical crawl order to the old
-        driver-streaming path (verified by the parity suite)."""
+        driver-streaming path (verified by the parity suite).
+
+        Note: actor-written parts hold interleaved seq ranges, so when
+        ``queue_items_limit`` slices a wave into several rounds the
+        slice boundary is part-granular rather than strictly
+        seq-ordered (seq labels, stored set and per-URL metadata stay
+        exact; only which slice a row lands in can shift).  With the
+        wave inside the active limit the order is strictly FIFO."""
         import ray
 
         uh_l, hh_l, ps_l, li_l, act_l, loc_l = [], [], [], [], [], []
