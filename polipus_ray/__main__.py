@@ -17,21 +17,24 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    """(ray, started_here): shut down only sessions we started."""
     import ray
 
+    started = False
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
-    return ray
+        started = True
+    return ray, started
 
 
 def cmd_world(args) -> int:
     from .synth.world import WorldSpec, write_world
 
     if args.pages:
-        _init_ray(args.num_cpus)
+        _init_ray(args.num_cpus)[0]
         from .synth.bench_world import write_world_ray
 
         spec = WorldSpec(hosts=args.hosts, out_degree=args.out_degree, num_seeds=args.hosts, redirect_mod=23)
@@ -43,7 +46,7 @@ def cmd_world(args) -> int:
 
 
 def cmd_crawl(args) -> int:
-    ray = _init_ray(args.num_cpus)
+    ray, started = _init_ray(args.num_cpus)
     from .config import CrawlConfig
     from .frontier.engine import CrawlEngine
 
@@ -61,7 +64,8 @@ def cmd_crawl(args) -> int:
         eng.seed(args.seed)
     res = eng.crawl(resume=args.resume)
     print(json.dumps({k: res[k] for k in ("rounds", "stored", "errors", "enqueued", "seen")}))
-    ray.shutdown()
+    if started:
+        ray.shutdown()
     return 0
 
 

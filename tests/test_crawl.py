@@ -562,3 +562,20 @@ def test_per_row_payload_invariant(ray_session, world_dir, tmp_path):
         checked += 1
     assert checked > 10
     assert any(r["fmt"] == "jpeg" for r in pages if not r["error"])  # lossy rows exercised
+
+
+def test_cli_world_crawl_summary(ray_session, tmp_path, capsys):
+    # python -m polipus_ray surface: world gen -> crawl -> summary
+    import json
+
+    from polipus_ray.__main__ import main
+
+    wd, run = str(tmp_path / "w"), str(tmp_path / "r")
+    assert main(["world", "--sf-dir", "/root/testdata/sf0.001", "--out", wd]) == 0
+    assert main(["crawl", "--world", wd, "--run", run, "--depth-limit", "1", "--robots"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    res = json.loads(out[-1])
+    assert res["stored"] > 0 and res["rounds"] >= 1
+    assert main(["summary", "--run", run]) == 0
+    summ = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summ["pages"] == res["stored"]
