@@ -198,7 +198,10 @@ def run_scaling() -> dict:
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # default pair 4 -> 16 (an N-vs-4N measurement with core headroom
+    # at both levels — see BASELINE.md; set GRAFT_SCALING_CPUS=8,32
+    # for the saturated pair, whose hardware ceiling is also reported)
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
     # min over repetitions: machine noise (page cache, background IO)
     # is one-sided — it only ever makes a run slower
