@@ -544,11 +544,14 @@ class Fetcher:
             "timings": tm,
         }
 
-    def emit_frontier(self, admitted_idx: np.ndarray, seqs: np.ndarray) -> dict | None:
+    def emit_frontier(self, admitted_idx: np.ndarray, seqs: np.ndarray) -> list[dict] | None:
         """Deterministic-mode callback: the driver admitted
         ``admitted_idx`` (positions into this actor's locally-sorted
         pending candidates) with global FIFO ``seqs``; build the
-        frontier rows here and write this actor's spill part."""
+        frontier rows here and write this actor's spill parts (CHUNKED
+        for the same active-slice-cut balance reason as the relaxed
+        path — links are mostly same-host, so whole-actor parts
+        concentrate slice leftovers)."""
         cand = self._pending_cand
         spill_path = self._pending_spill_path
         self._pending_cand = None
@@ -573,8 +576,13 @@ class Fetcher:
                 "user_data": pa.array(["{}"] * n, pa.string()),
             }
         )
-        pq.write_table(ft, spill_path, compression="lz4")
-        return {"path": spill_path, "rows": n}
+        out = []
+        for off in range(0, n, 16384):
+            chunk = ft.slice(off, 16384)
+            cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
+            pq.write_table(chunk, cp, compression="lz4")
+            out.append({"path": cp, "rows": chunk.num_rows})
+        return out
 
     def _verify_payloads(self, pages: pa.Table) -> pa.Table:
         """Decode each image payload and verify the stored perceptual

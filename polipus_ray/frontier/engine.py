@@ -658,9 +658,17 @@ class CrawlEngine:
         for a in sorted(set(act[admit].tolist())):
             sel = admit & (act == a)
             refs.append(actors[a].emit_frontier.remote(loc[sel], seqs[sel]))
-        for spill in ray.get(refs):
-            if spill:
-                self.spill.register_part(spill["path"], spill["rows"])
+        # round-robin registration of the actors' chunked parts (see
+        # the relaxed path: spreads active-slice cut boundaries)
+        per_actor = [list(spill) for spill in ray.get(refs) if spill]
+        while per_actor:
+            nxt = []
+            for parts in per_actor:
+                p = parts.pop(0)
+                self.spill.register_part(p["path"], p["rows"])
+                if parts:
+                    nxt.append(parts)
+            per_actor = nxt
         aph["emit"] = _time.perf_counter() - s
         return n_admit
 
