@@ -26,12 +26,17 @@ from .dedup import emb_matrix
 
 
 def _load_queries(sf_dir: str, num_queries: int):
+    """Load the first ``num_queries`` query vectors with parquet
+    predicate pushdown — only matching row groups are decoded, so at
+    1e9 vectors the driver still fetches O(num_queries) rows, never
+    the table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    import pyarrow.compute as pc
-
-    q = t.filter(pc.less(t["vec_id"], num_queries))
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", num_queries)],
+    )
     order = np.argsort(q["vec_id"].to_numpy())
     q = q.take(pa.array(order))
     Q = emb_matrix(q["embedding"])

@@ -46,9 +46,26 @@ logger = logging.getLogger(__name__)
 
 _PRIME = (1 << 31) - 1  # Mersenne 31: products of 31-bit values fit int64
 
-# buckets larger than this emit a warning (pair output is O(m^2); a
-# bucket this hot usually means boilerplate text / degenerate keys)
-_HOT_BUCKET_WARN = 1024
+# max ids per sub-block in bounded candidate-pair generation: a hot
+# bucket is split into sub-blocks of this size, so no single row/task
+# materializes O(m^2) pairs (one degenerate band key at corpus scale
+# would otherwise emit billions of pairs from one task)
+_PAIR_CHUNK = 512
+
+
+def join_partitions(floor: int = 8) -> int:
+    """Partition count for Dataset joins: 2x cluster CPUs, floored —
+    derived instead of hardcoded so join parallelism tracks the
+    cluster rather than starving at scale.  (At real 100 TB scale this
+    would additionally scale with input bytes; cluster width is the
+    signal available to a lazy pipeline.)"""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:  # pragma: no cover — defensive: never fail a pipeline on introspection
+        cpus = 0
+    return max(floor, 2 * cpus)
 
 
 def _h64(s: str) -> int:
@@ -117,15 +134,117 @@ def exact_dedup(sf_dir: str):
     return ds.map_batches(add_hash, batch_format="pyarrow").groupby("text_hash").aggregate(Min("doc_id")).map_batches(rename, batch_format="pyarrow")
 
 
-def _pairs_from_group(ids: np.ndarray) -> list[tuple[int, int]]:
-    ids = np.unique(ids)
-    if len(ids) > _HOT_BUCKET_WARN:
-        logger.warning("hot dedup bucket: %d members -> %d candidate pairs", len(ids), len(ids) * (len(ids) - 1) // 2)
-    out = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            out.append((int(ids[i]), int(ids[j])))
+def _chunk_rows_from_ids(ids: np.ndarray, cap: int = _PAIR_CHUNK) -> pa.Table:
+    """Bucket members -> bounded chunk-pair rows.  Members are split
+    into sorted sub-blocks of <= cap ids; each (i <= j) block pair
+    becomes ONE narrow row carrying the two packed id arrays.  A hot
+    bucket with m members emits O((m/cap)^2) such rows (each <= 8 KB)
+    instead of O(m^2) pairs from a single task; ``_expand_chunk_pairs``
+    re-inflates them a few rows per task downstream."""
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    m = len(ids)
+    if m < 2:
+        return pa.table(
+            {"ids_a": pa.array([], pa.binary()), "ids_b": pa.array([], pa.binary()), "intra": pa.array([], pa.bool_())}
+        )
+    chunks = [ids[i : i + cap] for i in range(0, m, cap)]
+    if len(chunks) > 1:
+        logger.warning(
+            "hot dedup bucket: %d members split into %d sub-blocks (%d chunk-pair rows; %d candidate pairs total)",
+            m,
+            len(chunks),
+            len(chunks) * (len(chunks) + 1) // 2,
+            m * (m - 1) // 2,
+        )
+    A, B, intra = [], [], []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            A.append(chunks[i].tobytes())
+            B.append(chunks[j].tobytes())
+            intra.append(i == j)
+    return pa.table({"ids_a": pa.array(A, pa.binary()), "ids_b": pa.array(B, pa.binary()), "intra": pa.array(intra, pa.bool_())})
+
+
+def _expand_chunk_pairs(batch: pa.Table):
+    """Chunk-pair rows -> (a, b) candidate pairs, vectorized, yielded
+    one row at a time so no output block exceeds ~cap^2 pairs."""
+    emitted = False
+    for sa, sb, intra in zip(batch["ids_a"].to_pylist(), batch["ids_b"].to_pylist(), batch["intra"].to_pylist()):
+        a = np.frombuffer(sa, dtype=np.int64)
+        b = np.frombuffer(sb, dtype=np.int64)
+        if intra:
+            iu, ju = np.triu_indices(len(a), 1)
+            if not len(iu):
+                continue
+            A, B = a[iu], a[ju]
+        else:
+            # chunks are sorted slices of a sorted array: every id in
+            # the later chunk exceeds every id in the earlier one
+            A = np.repeat(a, len(b))
+            B = np.tile(b, len(a))
+        emitted = True
+        yield pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
+    if not emitted:  # keep the schema observable for downstream groupby
+        yield pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+
+def _banded_pairs(banded, keys: list[str]):
+    """groupby(keys) -> deduped candidate (a, b) pairs with a < b,
+    via the bounded two-stage generation above.  batch_size=8 keeps
+    per-task pair output <= 8 * cap^2 (~2M pairs)."""
+    chunked = banded.groupby(keys).map_groups(
+        lambda g: _chunk_rows_from_ids(g["doc_id"].to_numpy()), batch_format="pyarrow"
+    )
+    pairs = chunked.map_batches(_expand_chunk_pairs, batch_format="pyarrow", batch_size=8)
+    return _dedup_pairs_ds(pairs)
+
+
+def band_ranges(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) bit-ranges for lossless Hamming banding: with
+    ``max_hamming + 1`` bands, any pair within Hamming <= max_hamming
+    leaves at least one band untouched (pigeonhole), so banded
+    candidates == brute-force all-pairs for ANY max_hamming — no
+    best-effort regime.  For max_hamming=3 this is the classic 4x16
+    split."""
+    nb = max_hamming + 1
+    w, r = divmod(bits, nb)
+    out, off = [], 0
+    for i in range(nb):
+        wd = w + (1 if i < r else 0)
+        out.append((off, wd))
+        off += wd
     return out
+
+
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
+
+
+def hamming_pairs_vec(uniq_ids: np.ndarray, hs: np.ndarray, max_hamming: int, chunk: int = 2048):
+    """All (a, b) id pairs with popcount(h_a ^ h_b) <= max_hamming —
+    vectorized byte-popcount LUT over block pairs, so memory stays
+    O(chunk^2) however large the bucket.  ``uniq_ids`` must be sorted
+    unique int64; ``hs`` the matching uint64 signatures."""
+    m = len(uniq_ids)
+    if m < 2:
+        return np.array([], np.int64), np.array([], np.int64)
+    bv = np.ascontiguousarray(hs, dtype=np.uint64).view(np.uint8).reshape(m, 8)
+    A, B = [], []
+    for s1 in range(0, m, chunk):
+        e1 = min(s1 + chunk, m)
+        for s2 in range(s1, m, chunk):
+            e2 = min(s2 + chunk, m)
+            x = bv[s1:e1, None, :] ^ bv[None, s2:e2, :]  # (c1, c2, 8)
+            d = _POPCOUNT8[x].sum(axis=2, dtype=np.uint16)
+            ii, jj = np.nonzero(d <= max_hamming)
+            if s1 == s2:
+                sel = jj > ii
+                ii, jj = ii[sel], jj[sel]
+            if len(ii):
+                A.append(uniq_ids[ii + s1])
+                B.append(uniq_ids[jj + s2])
+    if not A:
+        return np.array([], np.int64), np.array([], np.int64)
+    return np.concatenate(A), np.concatenate(B)
 
 
 def _dedup_pairs_ds(pairs_ds):
@@ -153,13 +272,14 @@ def _unpack_u64(b: bytes) -> np.ndarray:
     return np.frombuffer(b, dtype=np.uint64)
 
 
-def _jaccard_verify_join(cand, sigs, threshold: float, num_partitions: int = 8):
+def _jaccard_verify_join(cand, sigs, threshold: float, num_partitions: int | None = None):
     """Distributed exact-Jaccard verify: join candidate pairs against
     the (doc_id, sig:binary packed uint64 set) dataset on both sides,
     then compute Jaccard per pair.  The scale path: pairs and
     signatures both shuffle by key; nothing is materialized on the
     driver or broadcast whole (Arrow joins reject list columns, hence
     the packed-binary signature encoding)."""
+    num_partitions = num_partitions or join_partitions()
     j = cand.join(sigs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("doc_id",))
     j = j.join(sigs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
@@ -206,20 +326,12 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, 
             {"band_id": pa.array(band_id, pa.int32()), "band_key": pa.array(band_key, pa.string()), "doc_id": pa.array(doc, pa.int64())}
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        prs = _pairs_from_group(group["doc_id"].to_numpy())
-        return pa.table({"a": pa.array([p[0] for p in prs], pa.int64()), "b": pa.array([p[1] for p in prs], pa.int64())})
-
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
     # distributed materialize (object store, never the driver): the
     # sigs feed both the banding pipeline and the verify join
     sigs = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
-    cand = (
-        sigs.map_batches(band_stage, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    return _jaccard_verify_join(_dedup_pairs_ds(cand), sigs, threshold)
+    cand = _banded_pairs(sigs.map_batches(band_stage, batch_format="pyarrow"), ["band_id", "band_key"])
+    return _jaccard_verify_join(cand, sigs, threshold)
 
 
 def verify_sorted(ds):
@@ -243,25 +355,28 @@ def simhash64(text: str) -> int:
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3, table=None):
-    """Near-dup pairs by SimHash banding (4x16-bit pigeonhole: any
-    pair within Hamming<=3 shares at least one exact band).  The
-    banded result equals all-pairs Hamming<=max_hamming exactly, which
-    is what the DuckDB oracle computes."""
+    """Near-dup pairs by SimHash banding (``max_hamming + 1`` bands:
+    pigeonhole guarantees any pair within the Hamming budget shares at
+    least one exact band, for ANY max_hamming).  The banded result
+    equals all-pairs Hamming<=max_hamming exactly, which is what the
+    DuckDB oracle computes."""
     import ray.data
+
+    ranges = band_ranges(max_hamming)
 
     def sig_stage(batch: pa.Table) -> pa.Table:
         band_id, band_val, doc, sh = [], [], [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             s = simhash64(text)
-            for bi in range(4):
+            for bi, (off, width) in enumerate(ranges):
                 band_id.append(bi)
-                band_val.append((s >> (16 * bi)) & 0xFFFF)
+                band_val.append((s >> off) & ((1 << width) - 1))
                 doc.append(did)
                 sh.append(s - (1 << 64) if s >= 1 << 63 else s)
         return pa.table(
             {
                 "band_id": pa.array(band_id, pa.int32()),
-                "band_val": pa.array(band_val, pa.int32()),
+                "band_val": pa.array(band_val, pa.int64()),
                 "doc_id": pa.array(doc, pa.int64()),
                 "simhash": pa.array(sh, pa.int64()),
             }
@@ -271,14 +386,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, table=None):
         ids = group["doc_id"].to_numpy()
         hs = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         uniq, first = np.unique(ids, return_index=True)
-        hs = hs[first]
-        A, B = [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
-                    x, y = int(uniq[i]), int(uniq[j])
-                    A.append(min(x, y))
-                    B.append(max(x, y))
+        A, B = hamming_pairs_vec(uniq, hs[first], max_hamming)
         return pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
 
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
@@ -320,13 +428,9 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=N
         packed = [_pack_u64(_gram_hashes(t, n)) for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"], "sig": pa.array(packed, pa.binary())})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        prs = _pairs_from_group(group["doc_id"].to_numpy())
-        return pa.table({"a": pa.array([p[0] for p in prs], pa.int64()), "b": pa.array([p[1] for p in prs], pa.int64())})
-
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
     sigs = ds.map_batches(gram_sets, batch_format="pyarrow")
-    cand = _dedup_pairs_ds(ds.map_batches(explode_prefix, batch_format="pyarrow").groupby("gram").map_groups(bucket_pairs, batch_format="pyarrow"))
+    cand = _banded_pairs(ds.map_batches(explode_prefix, batch_format="pyarrow"), ["gram"])
     return _jaccard_verify_join(cand, sigs, threshold)
 
 
@@ -428,16 +532,11 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         return pa.table({"doc_id": batch["vec_id"], "sig": pa.array([row.tobytes() for row in M], pa.binary())})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        prs = _pairs_from_group(group["doc_id"].to_numpy())
-        return pa.table({"a": pa.array([p[0] for p in prs], pa.int64()), "b": pa.array([p[1] for p in prs], pa.int64())})
-
-    cand = _dedup_pairs_ds(
-        ds.map_batches(sig_stage, batch_format="pyarrow").groupby(["band_id", "band_key"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    )
+    cand = _banded_pairs(ds.map_batches(sig_stage, batch_format="pyarrow"), ["band_id", "band_key"])
     vecs = ds.map_batches(packed_vecs, batch_format="pyarrow")
-    j = cand.join(vecs, join_type="inner", num_partitions=8, on=("a",), right_on=("doc_id",))
-    j = j.join(vecs, join_type="inner", num_partitions=8, on=("b",), right_on=("doc_id",), right_suffix="_b")
+    nparts = join_partitions()
+    j = cand.join(vecs, join_type="inner", num_partitions=nparts, on=("a",), right_on=("doc_id",))
+    j = j.join(vecs, join_type="inner", num_partitions=nparts, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
     def verify(batch: pa.Table) -> pa.Table:
         keep = []

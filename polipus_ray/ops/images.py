@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..synth.images import decode_image, phash64
+from .dedup import _dedup_pairs_ds, hamming_pairs_vec, join_partitions
 
 
 class DecodeVerify:
@@ -77,24 +78,30 @@ def decode_stage(ds, id_col: str = "doc_id", concurrency: int = 4, batch_size: i
 
 
 def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
-    """Near-duplicate image pairs by perceptual hash: 4x16-bit
-    pigeonhole bands (Hamming <= 3 guaranteed; <= max_hamming verified
-    per pair, so 4 is best-effort beyond 3) -> groupby(band) ->
-    verified pairs (a, b).  Narrow columns only."""
+    """Near-duplicate image pairs by perceptual hash:
+    ``max_hamming + 1`` pigeonhole bit-bands (band_ranges) ->
+    groupby(band) -> Hamming-verified pairs (a, b).  Narrow columns
+    only.  Banding is LOSSLESS for any max_hamming (a pair within the
+    budget leaves >= 1 band untouched), so the output equals
+    brute-force all-pairs Hamming<=max_hamming — pinned by
+    test_phash_banding_recall."""
+    from .dedup import band_ranges
+
+    ranges = band_ranges(max_hamming)
 
     def explode(batch: pa.Table) -> pa.Table:
         band_id, band_val, ids, ph = [], [], [], []
         for did, p in zip(batch[id_col].to_pylist(), batch["phash"].to_pylist()):
             u = p + (1 << 64) if p < 0 else p
-            for bi in range(4):
+            for bi, (off, width) in enumerate(ranges):
                 band_id.append(bi)
-                band_val.append((u >> (16 * bi)) & 0xFFFF)
+                band_val.append((u >> off) & ((1 << width) - 1))
                 ids.append(did)
                 ph.append(p)
         return pa.table(
             {
                 "band_id": pa.array(band_id, pa.int32()),
-                "band_val": pa.array(band_val, pa.int32()),
+                "band_val": pa.array(band_val, pa.int64()),
                 "id": pa.array(ids),
                 "phash": pa.array(ph, pa.int64()),
             }
@@ -104,27 +111,14 @@ def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
         ids = group["id"].to_numpy()
         hs = group["phash"].to_numpy().astype(np.int64).view(np.uint64)
         uniq, first = np.unique(ids, return_index=True)
-        hs = hs[first]
-        A, B = [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
-                    A.append(int(min(uniq[i], uniq[j])))
-                    B.append(int(max(uniq[i], uniq[j])))
+        A, B = hamming_pairs_vec(uniq, hs[first], max_hamming)
         return pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
     narrow = ds.select_columns([id_col, "phash"])
-    return (
-        narrow.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(first, batch_format="pyarrow")
-        .sort(["a", "b"])
-    )
+    cand = narrow.map_batches(explode, batch_format="pyarrow").groupby(["band_id", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # vectorized pair dedup (one aggregate call per block, not one
+    # python call per distinct pair)
+    return _dedup_pairs_ds(cand).sort(["a", "b"])
 
 
 def _cc_losers_distributed(pairs, max_iters: int = 25):
@@ -161,7 +155,7 @@ def _cc_losers_distributed(pairs, max_iters: int = 25):
     )
     prev_sum = None
     for it in range(max_iters):
-        nbr = edges.join(labels, join_type="inner", num_partitions=8, on=("nbr",), right_on=("node",), right_suffix="_l")
+        nbr = edges.join(labels, join_type="inner", num_partitions=join_partitions(), on=("nbr",), right_on=("node",), right_suffix="_l")
         # nbr columns: node, nbr, label (the neighbor's label)
         prop = nbr.select_columns(["node", "label"]).union(labels)
         labels = prop.groupby("node").aggregate(Min("label")).map_batches(rename_min, batch_format="pyarrow").materialize()
@@ -207,7 +201,7 @@ def phash_neardup_keep_first(ds, id_col: str = "doc_id", max_hamming: int = 4, d
         j = ds.select_columns([id_col]).join(
             losers_ds.map_batches(add_marker, batch_format="pyarrow"),
             join_type="left_outer",
-            num_partitions=8,
+            num_partitions=join_partitions(),
             on=(id_col,),
             right_on=("loser",),
         )

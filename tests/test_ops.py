@@ -224,3 +224,63 @@ def test_decode_stage_and_phash_neardup(ray_session, tmp_path):
     got2 = dict(zip(marked2["doc_id"], marked2["keep"]))
     got1 = dict(zip(marked["doc_id"], marked["keep"]))
     assert got1 == got2
+
+
+def test_phash_banding_recall(ray_session):
+    """Pin the banding guarantee: max_hamming+1 pigeonhole bands make
+    banded candidate generation LOSSLESS, so phash_neardup_pairs at
+    its default equals brute-force all-pairs Hamming<=default."""
+    import ray.data
+
+    from polipus_ray.ops.dedup import hamming_pairs_vec
+    from polipus_ray.ops.images import phash_neardup_pairs
+    from polipus_ray.synth.world import WorldSpec, make_web_table
+
+    web = make_web_table(f"{SF}/documents.parquet", WorldSpec())
+    got = [(r["a"], r["b"]) for r in phash_neardup_pairs(ray.data.from_arrow(web.select(["doc_id", "phash"])), id_col="doc_id").take_all()]
+    ids = web["doc_id"].to_numpy()
+    hs = web["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    order = np.argsort(ids)
+    A, B = hamming_pairs_vec(ids[order], hs[order], 4)  # brute force: all pairs, no banding
+    want = sorted(zip(A.tolist(), B.tolist()))
+    assert sorted(got) == want and len(want) > 0
+
+
+def test_hamming_pairs_vec_matches_scalar():
+    from polipus_ray.ops.dedup import hamming_pairs_vec
+    from polipus_ray.synth.images import hamming64
+
+    rng = np.random.default_rng(3)
+    hs = rng.integers(0, 1 << 63, size=300, dtype=np.uint64)
+    hs[50] = hs[10] ^ np.uint64(0b101)  # a close pair
+    ids = np.arange(300, dtype=np.int64)
+    A, B = hamming_pairs_vec(ids, hs, 6, chunk=64)  # chunk < n: exercise block tiling
+    want = sorted(
+        (i, j) for i in range(300) for j in range(i + 1, 300) if hamming64(int(hs[i]), int(hs[j])) <= 6
+    )
+    assert sorted(zip(A.tolist(), B.tolist())) == want
+    assert (10, 50) in want
+
+
+def test_hot_bucket_bounded_split(ray_session):
+    """Degenerate band key (identical docs): the bounded two-stage
+    pair generation must split the hot bucket into sub-blocks (no
+    single O(m^2) task output) and still emit the exact pair set."""
+    from polipus_ray.ops.dedup import _PAIR_CHUNK, _chunk_rows_from_ids, minhash_lsh_pairs
+
+    n = 600  # > _PAIR_CHUNK so the split path engages end-to-end
+    assert n > _PAIR_CHUNK
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["the same boilerplate text about nothing at all"] * n, pa.string()),
+        }
+    )
+    got = minhash_lsh_pairs(SF, threshold=0.8, table=t)
+    assert got.count() == n * (n - 1) // 2  # every pair, exactly once
+
+    # unit: a 10k-member bucket emits O((m/cap)^2) narrow rows, not pairs
+    rows = _chunk_rows_from_ids(np.arange(10_000, dtype=np.int64))
+    nch = (10_000 + _PAIR_CHUNK - 1) // _PAIR_CHUNK
+    assert rows.num_rows == nch * (nch + 1) // 2
+    assert max(len(x) for x in rows["ids_a"].to_pylist()) <= _PAIR_CHUNK * 8
