@@ -13,8 +13,10 @@ after every round the engine persists
 
 Pages parquet is already durable and round-partitioned (idempotent:
 a re-run of round R overwrites round R's directory only), so resume =
-load manifest -> restore shards -> continue the wave loop at
-``round+1``.  Atomic: manifest written to a temp file then renamed;
+load manifest -> restore shards -> continue the wave loop at the
+manifest's saved ``round`` (the engine saves post-increment: the
+stored value already names the NEXT round to run; resume() applies no
++1).  Atomic: manifest written to a temp file then renamed;
 shard snapshots written before the manifest that references them.
 Only the latest ``keep`` checkpoints are retained.
 """

@@ -48,7 +48,10 @@ class CrawlConfig:
     # fetch actor keeps a per-host cookie jar — the simulated server
     # sets a deterministic session cookie on every response, later
     # requests to that host carry it (recorded in `cookies_sent`).
-    # Host-bucket affinity makes the jar exact per host.
+    # Host-bucket affinity makes the jar exact per host.  The jar is
+    # actor-local and NOT checkpointed: after crash-resume each host
+    # starts a fresh cookie session, so `cookies_sent` can differ from
+    # an uninterrupted run (documented determinism exception).
     accept_cookies: bool = False
     domain_aliases: list = field(default_factory=list)
     connection_max_hits: Any = None  # inert: actor lifetime = pool lifetime

@@ -82,6 +82,12 @@ class Fetcher:
         # simulated server sets a deterministic session cookie on each
         # response; subsequent requests to the host send it.  Exact
         # because a host's bucket lives on one actor for the run.
+        # NOTE: jar and politeness clocks are actor-local state
+        # EXCLUDED from checkpoints — after a crash-resume the
+        # cookies_sent column restarts empty for each host (a fresh
+        # session, like the reference's new HTTP client), so it may
+        # differ from an uninterrupted run; documented divergence from
+        # the byte-identical determinism story (config.accept_cookies).
         self._cookie_jar: dict[str, str] = dict(cfg.cookie_jar or {}) if cfg.accept_cookies else {}
         # fused dequeue-side re-check (policy sans tracker + storage
         # anti-join): saves a map_batches stage per round

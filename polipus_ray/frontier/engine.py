@@ -395,7 +395,25 @@ class CrawlEngine:
                 else:
                     cols = [c for c in pq.read_schema(page_files[0]).names if c != "bytes"]
                 tables = [pq.read_table(f, columns=cols) for f in page_files]
-                extras = [t.select(cols) for t in extras if set(cols) <= set(t.column_names)]
+                pages_schema = pq.read_schema(page_files[0])
+
+                def _pad(t: pa.Table) -> pa.Table:
+                    # unstorable pages lack payload columns (e.g. a
+                    # user hook_columns including 'bytes'): pad with
+                    # typed nulls so they still reach the hooks instead
+                    # of silently vanishing
+                    if set(cols) <= set(t.column_names):
+                        return t.select(cols)
+                    arrays = []
+                    for c in cols:
+                        if c in t.column_names:
+                            arrays.append(t[c])
+                        else:
+                            typ = pages_schema.field(c).type if pages_schema.get_field_index(c) >= 0 else pa.null()
+                            arrays.append(pa.nulls(t.num_rows, type=typ))
+                    return pa.table(dict(zip(cols, arrays)))
+
+                extras = [_pad(t) for t in extras]
             full = pa.concat_tables(tables + extras) if (tables or extras) else None
             if full is not None and full.num_rows:
                 import pyarrow.compute as pc

@@ -61,7 +61,14 @@ class FrontierSpill:
         # so deletion is deferred to gc_consumed()
         self.consumed: list[str] = []
         self._next_part = 0
-        self._pushed: set[int] = set()  # uniq adapter: url_hashes ever pushed
+        # uniq adapter ONLY: url_hashes ever pushed.  SCALE BOUND: this
+        # is an unbounded driver-side set (one int per distinct hash)
+        # and state() serializes it into every checkpoint manifest —
+        # intentional for the small API-parity surface it exists for
+        # (reference queue_overflow ensure_uniq specs).  A production
+        # frontier uses the sharded cuckoo seen-set (seen/shards.py)
+        # for dedup; do NOT enable adapter='uniq' at crawl scale.
+        self._pushed: set[int] = set()
         os.makedirs(root, exist_ok=True)
 
     # -- append (enqueue side) -------------------------------------------

@@ -579,3 +579,36 @@ def test_cli_world_crawl_summary(ray_session, tmp_path, capsys):
     assert main(["summary", "--run", run]) == 0
     summ = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summ["pages"] == res["stored"]
+
+
+def test_hooks_wide_columns_pad_unstorable(ray_session, world_dir, tmp_path):
+    """A user hook_columns list wider than the unstorable narrow
+    tables (here incl. 'bytes') must NOT drop unstorable pages from
+    hooks — missing columns are padded with typed nulls (ADVICE r2)."""
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=1, hook_columns=["url", "code", "error", "bytes"])
+    eng = CrawlEngine(wd, cfg, str(tmp_path / "run"))
+    eng.seed(["http://h5.test/p/5", "http://h1.test/p/1"])  # links include 404 h5/p/37
+    n_404, got_cols = [], []
+
+    def on_dl(t):
+        n_404.append(sum(1 for c in t["code"].to_pylist() if c == 404))
+        got_cols.append(t.column_names)
+
+    eng.on_page_downloaded(on_dl)
+
+    def drop_404(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        storable = np.asarray(batch["storable"].to_numpy(zero_copy_only=False), dtype=bool)
+        storable &= ~(code == 404)
+        return batch.set_column(batch.schema.get_field_index("storable"), "storable", pa.array(storable))
+
+    eng.on_before_save(drop_404)
+    eng.crawl()
+    # the 404s are unstorable (dropped by before_save) yet still reach
+    # the hook, with the full requested column set
+    assert sum(n_404) > 0
+    assert all(cols == ["url", "code", "error", "bytes"] for cols in got_cols)
