@@ -43,9 +43,65 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..robots import RobotsCache
-from ..urltools import canonicalize, host_hash64, host_of, page_uuid, url_hash64
+from ..urltools import canonicalize, host_hash64, host_of, page_uuid, strip_query, url_hash64
 
 _FETCH_COLUMNS = ["doc_id", "url", "code", "content_type", "redirect_to", "caption", "links", "bytes", "w", "h", "fmt", "phash", "base_href"]
+
+# column types for empty buckets (must match the world parquet so the
+# payload concat/take path stays type-stable)
+_WEB_FETCH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("url", pa.string()),
+        ("code", pa.int32()),
+        ("content_type", pa.string()),
+        ("redirect_to", pa.string()),
+        ("caption", pa.string()),
+        ("links", pa.list_(pa.string())),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("phash", pa.int64()),
+        ("base_href", pa.string()),
+    ]
+)
+
+
+class _Bucket:
+    """One cached web-table partition plus its lookup index: a
+    sorted md5-prefix (uint64) array + permutation for batched binary
+    search, per-row code/redirect arrays for the hot loop.  Built once
+    per bucket per actor (amortized across every round the actor
+    serves)."""
+
+    __slots__ = ("t", "urls", "codes", "redirects", "uh_sorted", "perm", "is_redir")
+
+    def __init__(self, t: pa.Table):
+        import hashlib as _hl
+
+        import pyarrow.compute as pc
+
+        self.t = t
+        self.urls = t["url"]
+        if t.num_rows:
+            self.codes = t["code"].to_numpy()
+            self.redirects = t["redirect_to"].to_pylist()
+            uh = np.fromiter(
+                (int.from_bytes(_hl.md5(u.encode("utf-8", "surrogatepass")).digest()[:8], "big") for u in t["url"].to_pylist()),
+                dtype=np.uint64,
+                count=t.num_rows,
+            )
+            self.perm = np.argsort(uh, kind="stable")
+            self.uh_sorted = uh[self.perm]
+            rt_ok = np.asarray(pc.fill_null(pc.not_equal(t["redirect_to"], ""), False).to_numpy(zero_copy_only=False), bool)
+            self.is_redir = rt_ok & (self.codes >= 300) & (self.codes < 400)
+        else:
+            self.codes = np.zeros(0, np.int32)
+            self.redirects = []
+            self.perm = np.zeros(0, np.int64)
+            self.uh_sorted = np.zeros(0, np.uint64)
+            self.is_redir = np.zeros(0, bool)
 
 
 class Fetcher:
@@ -76,8 +132,10 @@ class Fetcher:
         # are zero-copy and shared across actors/rounds on a node,
         # replacing a per-round per-actor parquet re-read
         self.web_refs = web_refs
-        self._buckets: dict[int, tuple[dict[str, int], pa.Table]] = {}
+        self._buckets: dict[int, _Bucket] = {}
         self._next_ok: dict[str, float] = {}
+        self._delay_cache: dict[str, float] = {}
+        self._hh_cache: dict[str, tuple[int, int]] = {}
         # per-host cookie jar (T4, reference http.rb:143-152): the
         # simulated server sets a deterministic session cookie on each
         # response; subsequent requests to the host send it.  Exact
@@ -106,7 +164,7 @@ class Fetcher:
     def _bucket_of(self, url: str) -> int:
         return host_hash64(host_of(url)) % self.num_buckets
 
-    def _load_bucket(self, b: int) -> tuple[dict[str, int], pa.Table]:
+    def _load_bucket(self, b: int) -> "_Bucket":
         got = self._buckets.get(b)
         if got is None:
             if self.web_refs is not None and b in self.web_refs:
@@ -118,21 +176,54 @@ class Fetcher:
                 if files:
                     t = pa.concat_tables([pq.read_table(f, columns=_FETCH_COLUMNS) for f in files])
                 else:
-                    t = pa.table({c: [] for c in _FETCH_COLUMNS})
-            t = t.combine_chunks()
-            idx = {u: i for i, u in enumerate(t["url"].to_pylist())}
-            # per-row hot-loop columns decoded once per bucket (chained
-            # ChunkedArray[i].as_py() costs ~10us/row otherwise)
-            codes = t["code"].to_numpy()
-            redirects = t["redirect_to"].to_pylist()
-            got = (idx, t, codes, redirects)
+                    t = _WEB_FETCH_SCHEMA.empty_table()
+            got = _Bucket(t.combine_chunks())
             self._buckets[b] = got
         return got
 
-    def _lookup(self, url: str, bucket: int | None = None):
-        idx, t, codes, redirects = self._load_bucket(self._bucket_of(url) if bucket is None else bucket)
-        i = idx.get(url)
-        return None if i is None else (t, i, int(codes[i]), redirects[i])
+    def _lookup_in(self, bk: "_Bucket", url: str) -> int:
+        """Point lookup within a bucket record: binary search on the
+        md5-prefix index, string-verified (collisions resolve by
+        scanning the equal-hash run)."""
+        import hashlib as _hl
+
+        v = np.uint64(int.from_bytes(_hl.md5(url.encode("utf-8", "surrogatepass")).digest()[:8], "big"))
+        lo = int(np.searchsorted(bk.uh_sorted, v, side="left"))
+        hi = int(np.searchsorted(bk.uh_sorted, v, side="right"))
+        for p in range(lo, hi):
+            ri = int(bk.perm[p])
+            if bk.urls[ri].as_py() == url:
+                return ri
+        return -1
+
+    def _lookup(self, url: str, bucket: int | None = None) -> int:
+        return self._lookup_in(self._load_bucket(self._bucket_of(url) if bucket is None else bucket), url)
+
+    def _follow_redirects(self, url: str, bucket: int):
+        """Slow path (3xx hop-0 rows only): follow the redirect chain
+        (same-host, <= redirect_limit hops, relative Location resolved
+        per hop — http.rb:161-182).  Returns (hops, final_bucket_record,
+        final_row); final_row = -1 when any hop resolves nowhere (error
+        page with the ORIGINAL url, http.rb:63-71)."""
+        hops: list[str] = []
+        cur = url
+        b: int | None = bucket
+        rlimit = self.cfg.redirect_limit
+        while True:
+            bk = self._load_bucket(self._bucket_of(cur) if b is None else b)
+            b = None  # later (redirect) hops recompute bucket from the URL
+            ri = self._lookup_in(bk, cur)
+            if ri < 0:
+                return hops, None, -1
+            hops.append(cur)
+            code = int(bk.codes[ri])
+            rt = bk.redirects[ri]
+            if rt:
+                rt = canonicalize(rt, cur)
+            if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= rlimit:
+                cur = rt
+                continue
+            return hops, bk, ri
 
     def _delay(self, host: str) -> float:
         if self.cfg.obey_robots_txt:
@@ -143,6 +234,11 @@ class Fetcher:
 
     # -- the fetch batch --------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized fetch: the no-redirect majority path is a batched
+        binary-search lookup + numpy column assembly; only 3xx rows
+        (reference redirect semantics) and hash-prefix collisions drop
+        to per-row Python.  One md5 per row remains — it is the uuid /
+        url_hash semantic (M22), not overhead."""
         if self._prefetch_check and self.pool is not None and batch.num_rows:
             if self._prefilter is None or self._prefilter_now != self.now:
                 from ..frontier.stages import make_prefetch_filter
@@ -150,223 +246,286 @@ class Fetcher:
                 self._prefilter = make_prefetch_filter(self._robots_bodies, self.cfg, self.pool, self.now)
                 self._prefilter_now = self.now
             batch = self._prefilter(batch)
-        if batch.num_rows == 0:
+        n = batch.num_rows
+        if n == 0:
             return self._empty()
         # per-host priority order (O7): lower priority first, then FIFO seq
         order = np.lexsort((batch["seq"].to_numpy(), batch["priority"].to_numpy()))
-        # column lists, not row dicts (to_pylist() on a wide selection
-        # builds a dict per row — measurable at frontier scale)
-        c_url = batch["url"].to_pylist()
-        c_host = batch["host"].to_pylist()
-        c_ref = batch["referer"].to_pylist()
-        c_depth = batch["depth"].to_pylist()
-        c_seeded = batch["seeded"].to_pylist()
-        c_seq = batch["seq"].to_pylist()
-        c_ud = batch["user_data"].to_pylist()
-        c_att = batch["attempt"].to_pylist()
-        c_bucket = batch["host_bucket"].to_pylist() if "host_bucket" in batch.column_names else None
+        if not np.array_equal(order, np.arange(n)):
+            batch = batch.take(pa.array(order))
 
-        # columnar accumulation in processing order (no per-row dicts:
-        # the dict-of-30-fields pattern was the measured hot spot)
         import hashlib as _hl
 
-        accept_ck = self.cfg.accept_cookies
-        ua_cfg = self.cfg.user_agent
-        ua_is_list = isinstance(ua_cfg, (list, tuple))
-        ua_fixed = None if ua_is_list else str(ua_cfg)
-        wall = self.cfg.simulate_politeness_wall_clock
-        rlimit = self.cfg.redirect_limit
-        next_ok = self._next_ok
-        o_url: list = []
-        o_host: list = []
-        o_aliases: list = []
-        o_code: list = []
-        o_error: list = []
-        o_fetched: list = []
-        o_ref: list = []
-        o_depth: list = []
-        o_seeded: list = []
-        o_seq: list = []
-        o_ud: list = []
-        o_att: list = []
-        o_resp: list = []
-        o_ua: list = []
-        o_ck: list = []
-        o_hexd: list = []  # md5 hexdigest of the REQUESTED url, reusable when final == requested
-        finals: list[tuple[int, pa.Table, int]] = []  # (out_idx, bucket table, row idx)
-        for oi in order:
-            url = c_url[oi]
-            host = c_host[oi]
-            # politeness: virtual per-host clock
-            t0 = next_ok.get(host, 0.0)
-            if t0 < 0.0:
-                t0 = 0.0
-            d = self._delay(host)
-            next_ok[host] = t0 + d
-            if wall and d > 0:
-                time.sleep(d)
-            # redirect chain (same-host, <= redirect_limit hops)
-            hops: list[str] = []
-            cur = url
-            hit = None
-            while True:
-                # hop 0 reuses the frontier's host_bucket column;
-                # later (redirect) hops recompute from the URL
-                found = self._lookup(cur, int(c_bucket[oi]) if (c_bucket is not None and not hops) else None)
-                if found is None:
-                    hit = None
-                    break
-                t, i, code, rt = found
-                hops.append(cur)
-                if rt:
-                    # Location may be relative (http.rb:167): resolve
-                    # against the current URL before the host gate
-                    rt = canonicalize(rt, cur)
-                if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= rlimit:
-                    cur = rt
-                    hit = (t, i)
-                    continue
-                hit = (t, i)
-                break
-            hexd = _hl.md5(url.encode("utf-8", "surrogatepass")).hexdigest()
-            uh = int(hexd[:16], 16)
-            o_ref.append(c_ref[oi])
-            o_depth.append(c_depth[oi])
-            o_seeded.append(c_seeded[oi])
-            o_seq.append(c_seq[oi])
-            o_ud.append(c_ud[oi])
-            o_att.append(c_att[oi])
-            o_resp.append((uh % 20) + 5)
-            # per-request UA sampled by url hash (O6, http.rb:84-90)
-            o_ua.append(str(ua_cfg[uh % len(ua_cfg)]) if ua_is_list else ua_fixed)
-            # cookies in the jar at request time (T4); jar updated
-            # below once the simulated server responds
-            o_ck.append(self._cookie_jar.get(host, "") if accept_ck else "")
-            if hit is None:
-                # error page: original URL, no code, nil fetched_at (http.rb:63-71)
-                o_url.append(url)
-                o_host.append(host)
-                o_aliases.append([])
-                o_code.append(None)
-                o_error.append("connection failed")
-                o_fetched.append(-1)
-                o_hexd.append(hexd)
-            else:
-                t, i = hit
-                final_url = hops[-1]
-                if accept_ck:
-                    # Set-Cookie analogue: the simulated host issues a
-                    # deterministic session id on every response
-                    self._cookie_jar[host] = "sid=" + _hl.md5(host.encode()).hexdigest()[:8]
-                o_url.append(final_url)
-                o_host.append(host_of(final_url) if hops[0] != final_url else host)
-                o_aliases.append(hops[:-1])
-                o_code.append(code)  # final hop's code from the loop above
-                o_error.append(None)
-                o_fetched.append(self.now + int(t0))
-                o_hexd.append(hexd if final_url == url else None)
-                finals.append((len(o_url) - 1, t, i))
+        import pyarrow.compute as pc
 
-        n_out = len(o_url)
-        # payload columns via batched take per bucket table (vectorized copy)
-        payload_cols = ["caption", "links", "content_type", "bytes", "w", "h", "fmt", "phash", "doc_id", "base_href"]
-        pay: dict[str, list] = {c: [None] * n_out for c in payload_cols}
-        for j, e in enumerate(o_error):
-            if e is not None:
-                pay["links"][j] = []
-                pay["content_type"][j] = ""
-        by_table: dict[int, tuple[pa.Table, list[int], list[int]]] = {}
-        for out_idx, t, i in finals:
-            key = id(t)
-            ent = by_table.setdefault(key, (t, [], []))
-            ent[1].append(out_idx)
-            ent[2].append(i)
-        for t, out_idxs, row_idxs in by_table.values():
-            sub = t.select(payload_cols).take(pa.array(row_idxs))
-            for c in payload_cols:
-                vals = sub[c].to_pylist()
-                col = pay[c]
-                for j, oi2 in enumerate(out_idxs):
-                    col[oi2] = vals[j]
+        cfg = self.cfg
+        urls: list = batch["url"].to_pylist()
+        hosts: list = batch["host"].to_pylist()
+        # one md5 per REQUESTED url (uuid / url_hash / UA+resp sampling)
+        digs = [_hl.md5(u.encode("utf-8", "surrogatepass")).digest() for u in urls]
+        req_uh = np.frombuffer(b"".join(d[:8] for d in digs), dtype=">u8").astype(np.uint64)
 
-        # uuid / hashes: one md5 per row (reused from the request hash
-        # when no redirect moved the final url); host hashes cached per
-        # host — batches are host-clustered
-        inc = self.cfg.include_query_string_in_saved_page
-        from ..urltools import strip_query
-
-        o_uuid: list = [None] * n_out
-        o_uhash: list = [0] * n_out
-        o_hhash: list = [0] * n_out
-        o_bucket: list = [0] * n_out
-        hh_cache: dict[str, tuple[int, int]] = {}
-        for j in range(n_out):
-            hexd = o_hexd[j] if inc else None
-            if hexd is None:
-                u = o_url[j] if inc else strip_query(o_url[j])
-                hexd = _hl.md5(u.encode("utf-8", "surrogatepass")).hexdigest()
-            o_uuid[j] = hexd
-            uhv = int(hexd[:16], 16)
-            o_uhash[j] = uhv - (1 << 64) if uhv >= (1 << 63) else uhv
-            host = o_host[j]
-            got = hh_cache.get(host)
+        # --- politeness: closed-form per-host virtual clocks ---------------
+        # with the batch in processing order, row k of host h gets
+        # t0 = base_h + k*d_h and the clock ends at base_h + m_h*d_h —
+        # the per-request accumulation computed for all rows at once
+        hu, inv = np.unique(np.asarray(hosts, dtype=object), return_inverse=True)
+        G = len(hu)
+        delays = np.empty(G, np.float64)
+        bases = np.empty(G, np.float64)
+        dcache = self._delay_cache
+        hcache = self._hh_cache
+        hh_g = np.empty(G, np.int64)
+        hb_g = np.empty(G, np.int64)
+        for gi in range(G):
+            h = hu[gi]
+            d = dcache.get(h)
+            if d is None:
+                d = self._delay(h)
+                dcache[h] = d
+            delays[gi] = d
+            b0 = self._next_ok.get(h, 0.0)
+            bases[gi] = 0.0 if b0 < 0.0 else b0
+            got = hcache.get(h)
             if got is None:
-                hhv = host_hash64(host)
-                got = (hhv - (1 << 64) if hhv >= (1 << 63) else hhv, hhv % self.num_buckets)
-                hh_cache[host] = got
-            o_hhash[j], o_bucket[j] = got
+                v = host_hash64(h)
+                got = (v - (1 << 64) if v >= (1 << 63) else v, v % self.num_buckets)
+                hcache[h] = got
+            hh_g[gi], hb_g[gi] = got
+        s_idx = np.argsort(inv, kind="stable")
+        sinv = inv[s_idx]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sinv)) + 1))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        occ = np.empty(n, np.int64)
+        occ[s_idx] = np.arange(n) - np.repeat(starts, sizes)
+        t0 = bases[inv] + occ * delays[inv]
+        for gi in range(G):
+            self._next_ok[hu[gi]] = bases[gi] + sizes[gi] * delays[gi]
+        if cfg.simulate_politeness_wall_clock:
+            # simulation-only: one aggregate sleep per sub-batch (same
+            # total wall time as per-request sleeps)
+            tot = float(delays[inv].sum())
+            if tot > 0:
+                time.sleep(tot)
+        hh_col = hh_g[inv]
+        hb_col = hb_g[inv]
 
-        # redirect-final / generic storage-dedup on the FINAL url
-        # (reference re-checks page_exists? after redirects, polipus.rb:209)
-        keep = np.ones(n_out, dtype=bool)
-        if self.pool is not None:
-            redirected = [j for j in range(n_out) if o_aliases[j] and not o_seeded[j]]
-            if redirected:
-                uh_arr = np.array([o_uhash[j] for j in redirected], dtype=np.int64).view(np.uint64)
-                hh_arr = np.array([o_hhash[j] for j in redirected], dtype=np.int64).view(np.uint64)
+        # --- hop-0 lookup, vectorized per bucket ---------------------------
+        if "host_bucket" in batch.column_names:
+            bks = batch["host_bucket"].to_numpy().astype(np.int64)
+        else:
+            bks = np.fromiter((self._bucket_of(u) for u in urls), dtype=np.int64, count=n)
+        row_idx = np.full(n, -1, np.int64)  # hop-0 row within its bucket table
+        redir_flag = np.zeros(n, bool)  # found AND 3xx-with-location
+        code_np = np.zeros(n, np.int32)
+        bucket_sel: list[tuple] = []  # (bucket_record, out_positions, table_rows) fast hits
+        for b in np.unique(bks):
+            bk = self._load_bucket(int(b))
+            sel = np.flatnonzero(bks == b)
+            if not len(bk.uh_sorted):
+                continue
+            want = req_uh[sel]
+            lo = np.searchsorted(bk.uh_sorted, want, side="left")
+            hi = np.searchsorted(bk.uh_sorted, want, side="right")
+            width = hi - lo
+            m1 = np.flatnonzero(width == 1)
+            if len(m1):
+                rows1 = bk.perm[lo[m1]]
+                eq = np.asarray(
+                    pc.equal(bk.t["url"].take(pa.array(rows1)), batch["url"].take(pa.array(sel[m1]))).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    bool,
+                )
+                row_idx[sel[m1[eq]]] = rows1[eq]
+            for k in np.flatnonzero(width > 1):  # rare: shared 64-bit hash prefix
+                u = urls[sel[k]]
+                for p in range(int(lo[k]), int(hi[k])):
+                    ri = int(bk.perm[p])
+                    if bk.urls[ri].as_py() == u:
+                        row_idx[sel[k]] = ri
+                        break
+            found_local = np.flatnonzero(row_idx[sel] >= 0)
+            if len(found_local):
+                rows_f = row_idx[sel[found_local]]
+                redir_flag[sel[found_local]] = bk.is_redir[rows_f]
+                code_np[sel[found_local]] = bk.codes[rows_f]
+            fast_local = found_local[~redir_flag[sel[found_local]]]
+            if len(fast_local):
+                bucket_sel.append((bk, sel[fast_local], row_idx[sel[fast_local]]))
+
+        hit = (row_idx >= 0) & ~redir_flag
+
+        # --- slow path: redirect chains ------------------------------------
+        slow_hops: dict[int, list] = {}
+        slow_final: dict[int, tuple] = {}
+        url_vals: list | None = None
+        host_vals: list | None = None
+        for j in np.flatnonzero(redir_flag):
+            j = int(j)
+            hops, bk_f, ri = self._follow_redirects(urls[j], int(bks[j]))
+            if ri < 0:
+                continue  # error page with the original url
+            hit[j] = True
+            slow_hops[j] = hops
+            slow_final[j] = (bk_f, ri)
+            code_np[j] = bk_f.codes[ri]
+            fu = hops[-1]
+            if fu != urls[j]:
+                if url_vals is None:
+                    url_vals = list(urls)
+                url_vals[j] = fu
+                fh = host_of(fu)
+                if fh != hosts[j]:
+                    if host_vals is None:
+                        host_vals = list(hosts)
+                    host_vals[j] = fh
+                    got = hcache.get(fh)
+                    if got is None:
+                        v = host_hash64(fh)
+                        got = (v - (1 << 64) if v >= (1 << 63) else v, v % self.num_buckets)
+                        hcache[fh] = got
+                    hh_col[j], hb_col[j] = got
+
+        # --- uuid / url_hash (md5 reuse when final == requested) -----------
+        inc = cfg.include_query_string_in_saved_page
+        uuid_hex = [d.hex() for d in digs]
+        uh_signed = req_uh.view(np.int64).copy()
+        redo: set[int] = set()
+        if not inc:
+            redo.update(j for j, u in enumerate(urls) if "?" in u)
+        if url_vals is not None:
+            redo.update(j for j in slow_hops if url_vals[j] != urls[j])
+        for j in redo:
+            u = url_vals[j] if url_vals is not None else urls[j]
+            if not inc:
+                u = strip_query(u)
+            d = _hl.md5(u.encode("utf-8", "surrogatepass")).digest()
+            uuid_hex[j] = d.hex()
+            v = int.from_bytes(d[:8], "big")
+            uh_signed[j] = v - (1 << 64) if v >= (1 << 63) else v
+
+        # --- payload gather: one vectorized take over a virtual concat -----
+        payload_cols = ["caption", "links", "content_type", "bytes", "w", "h", "fmt", "phash", "doc_id", "base_href"]
+        subs: list[pa.Table] = []
+        src = np.zeros(n, np.int64)
+        base = 0
+        for bk, out_pos, rows in bucket_sel:
+            subs.append(bk.t.select(payload_cols).take(pa.array(rows)))
+            src[out_pos] = base + np.arange(len(rows))
+            base += len(rows)
+        for j, (bk_f, ri) in slow_final.items():
+            subs.append(bk_f.t.select(payload_cols).take(pa.array([ri])))
+            src[j] = base
+            base += 1
+        pschema = subs[0].schema if subs else pa.schema([_WEB_FETCH_SCHEMA.field(c) for c in payload_cols])
+        filler = []  # miss rows: links=[], content_type='', rest null (http.rb:63-71)
+        for f in pschema:
+            if f.name == "links":
+                filler.append(pa.array([[]], f.type))
+            elif f.name == "content_type":
+                filler.append(pa.array([""], f.type))
+            else:
+                filler.append(pa.array([None], f.type))
+        subs.append(pa.Table.from_arrays(filler, schema=pschema))
+        src[~hit] = base
+        payload = pa.concat_tables(subs).combine_chunks().take(pa.array(src))
+
+        # --- remaining columns, vectorized ---------------------------------
+        lens = np.zeros(n, np.int64)
+        for j, hops in slow_hops.items():
+            lens[j] = len(hops) - 1
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        avals: list[str] = []
+        for j in sorted(slow_hops):
+            avals.extend(slow_hops[j][:-1])
+        aliases_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(avals, pa.string()))
+        if isinstance(cfg.user_agent, (list, tuple)):
+            # per-request UA sampled by url hash (O6, http.rb:84-90)
+            ua_np = np.asarray([str(x) for x in cfg.user_agent], dtype=object)
+            ua_col = pa.array(ua_np[(req_uh % np.uint64(len(ua_np))).astype(np.int64)], pa.string())
+        else:
+            ua_col = pa.array(np.full(n, str(cfg.user_agent), dtype=object), pa.string())
+        if cfg.accept_cookies:
+            # cookie jar (T4): sent = jar content at request time; the
+            # simulated server sets a deterministic session id per host
+            # on every successful response
+            jar = self._cookie_jar
+            ck_vals = []
+            for j in range(n):
+                h = hosts[j]
+                ck_vals.append(jar.get(h, ""))
+                if hit[j]:
+                    jar[h] = "sid=" + _hl.md5(h.encode()).hexdigest()[:8]
+            ck_col = pa.array(ck_vals, pa.string())
+        else:
+            ck_col = pa.array(np.full(n, "", dtype=object), pa.string())
+        if bool(hit.all()):
+            err_col = pa.nulls(n, pa.string())
+        else:
+            err_col = pa.array(["connection failed" if not h_ else None for h_ in hit], pa.string())
+
+        # redirect-final storage-dedup on the FINAL url (polipus.rb:209)
+        keep = np.ones(n, bool)
+        if self.pool is not None and slow_hops:
+            seeded_np = np.asarray(batch["seeded"].to_numpy(zero_copy_only=False), bool)
+            red = [j for j in slow_hops if lens[j] > 0 and not seeded_np[j]]
+            if red:
+                uh_arr = uh_signed[red].view(np.uint64)
+                hh_arr = hh_col[red].view(np.uint64)
                 exists, ts = self.pool.stored_info(uh_arr, hh_arr)
-                ttl = self.cfg.ttl_page
-                for k, j in enumerate(redirected):
+                ttl = cfg.ttl_page
+                for k, j in enumerate(red):
                     expired = ttl is not None and ts[k] >= 0 and (self.now - ttl) > ts[k]
                     if exists[k] and not expired:
                         keep[j] = False
-        cols = {
-            "uuid": o_uuid,
-            "url": o_url,
-            "host": o_host,
-            "host_bucket": o_bucket,
-            "url_hash": o_uhash,
-            "host_hash": o_hhash,
-            "aliases": o_aliases,
-            "referer": o_ref,
-            "depth": o_depth,
-            "seeded": o_seeded,
-            "code": o_code,
-            "bytes": pay["bytes"],
-            "caption": pay["caption"],
-            "w": pay["w"],
-            "h": pay["h"],
-            "fmt": pay["fmt"],
-            "phash": pay["phash"],
-            "links": pay["links"],
-            "content_type": pay["content_type"],
-            "response_time": o_resp,
-            "fetched_at": o_fetched,
-            "ua": o_ua,
-            "cookies_sent": o_ck,
-            "error": o_error,
-            "user_data": o_ud,
-            "attempt": o_att,
-            "seq": o_seq,
-            "round": [self.round_no] * n_out,
-            "doc_id": pay["doc_id"],
-            "base_href": pay["base_href"],
-            "storable": [True] * n_out,
-        }
-        if not keep.all():
-            cols = {k: [v for v, kp in zip(vals, keep) if kp] for k, vals in cols.items()}
+
         schema = self._schema()
-        t = pa.table({k: pa.array(v, schema.field(k).type) for k, v in cols.items()}).select(schema.names)
+        cols = {
+            "uuid": pa.array(uuid_hex, pa.string()),
+            "url": pa.array(url_vals, pa.string()) if url_vals is not None else batch["url"],
+            "host": pa.array(host_vals, pa.string()) if host_vals is not None else batch["host"],
+            "host_bucket": pa.array(hb_col.astype(np.int32)),
+            "url_hash": pa.array(uh_signed),
+            "host_hash": pa.array(hh_col),
+            "aliases": aliases_col,
+            "referer": batch["referer"],
+            "depth": batch["depth"],
+            "seeded": batch["seeded"],
+            "code": pa.array(code_np, mask=~hit),
+            "bytes": payload["bytes"],
+            "caption": payload["caption"],
+            "w": payload["w"],
+            "h": payload["h"],
+            "fmt": payload["fmt"],
+            "phash": payload["phash"],
+            "links": payload["links"],
+            "content_type": payload["content_type"],
+            "response_time": pa.array((req_uh % np.uint64(20) + np.uint64(5)).astype(np.int64)),
+            "fetched_at": pa.array(np.where(hit, self.now + t0.astype(np.int64), -1)),
+            "ua": ua_col,
+            "cookies_sent": ck_col,
+            "error": err_col,
+            "user_data": batch["user_data"],
+            "attempt": batch["attempt"],
+            "seq": batch["seq"],
+            "round": pa.array(np.full(n, self.round_no, np.int32)),
+            "doc_id": payload["doc_id"],
+            "base_href": payload["base_href"],
+            "storable": pa.array(np.ones(n, bool)),
+        }
+        arrays = []
+        for f in schema:
+            col = cols[f.name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.type != f.type:
+                col = col.cast(f.type)
+            arrays.append(col)
+        t = pa.Table.from_arrays(arrays, schema=schema)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
         if self._mark_stored and self.pool is not None and t.num_rows:
             # fused mark-stored (only when no before_save hooks can
             # flip storable): one RPC batch per fetch group
@@ -597,7 +756,7 @@ class Fetcher:
         multi-scale fingerprint pyramid).  Vectorized: images are
         grouped by shape and hashed as batched GEMMs (phash64_batch is
         bit-identical to the scalar phash64)."""
-        from ..synth.images import decode_image, phash64_batch
+        from ..synth.images import decode_image, gray_batch, phash64_from_gray
 
         scales = max(1, int(self.cfg.phash_scales))
         ph = pages["phash"].to_pylist()
@@ -623,17 +782,22 @@ class Fetcher:
         for (h, w), (idxs, pxs) in groups.items():
             for off in range(0, len(idxs), CHUNK):
                 stack = np.stack(pxs[off : off + CHUNK])
-                got = phash64_batch(stack)
+                # luma ONCE per chunk; every pyramid level subsamples
+                # the same gray stack (selecting gray pixels commutes
+                # with per-pixel luma, so each level is bit-identical
+                # to hashing the subsampled uint8 image)
+                gray = gray_batch(stack)
+                got = phash64_from_gray(gray)
                 for s in range(1, scales):
                     side = max(4, 32 >> s)
                     yi = (np.arange(side) * h // side).astype(np.int64)
                     xi = (np.arange(side) * w // side).astype(np.int64)
-                    phash64_batch(stack[:, yi[:, None], xi[None, :], :])  # pyramid levels (fingerprint work)
-                for k in range(len(got)):
-                    i = idxs[off + k]
-                    want = ph[i]
-                    ok[i] = want is None or int(got[k]) == (want + (1 << 64) if want < 0 else want)
-        return pages.append_column("payload_ok", pa.array(ok.tolist(), pa.bool_()))
+                    phash64_from_gray(gray[:, yi[:, None], xi[None, :]])  # pyramid levels (fingerprint work)
+                want = [ph[i] for i in idxs[off : off + CHUNK]]
+                w_none = np.array([v is None for v in want], bool)
+                w_u64 = np.array([0 if v is None else v for v in want], np.int64).view(np.uint64)
+                ok[np.asarray(idxs[off : off + CHUNK])] = w_none | (got == w_u64)
+        return pages.append_column("payload_ok", pa.array(ok, pa.bool_()))
 
     def preload(self, buckets: list[int]) -> int:
         """Warm this actor: load its web buckets (pool warm-up)."""

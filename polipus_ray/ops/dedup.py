@@ -53,19 +53,35 @@ _PRIME = (1 << 31) - 1  # Mersenne 31: products of 31-bit values fit int64
 _PAIR_CHUNK = 512
 
 
-def join_partitions(floor: int = 8) -> int:
-    """Partition count for Dataset joins: 2x cluster CPUs, floored —
-    derived instead of hardcoded so join parallelism tracks the
-    cluster rather than starving at scale.  (At real 100 TB scale this
-    would additionally scale with input bytes; cluster width is the
-    signal available to a lazy pipeline.)"""
+_JOIN_ROWS_PER_PARTITION = 250_000
+
+
+def join_partitions(rows: int | None = None, floor: int = 8) -> int:
+    """Partition count for Dataset joins, derived from the join input
+    size (~250k rows/partition) and clamped to [floor, 4x cluster
+    CPUs] — replaces the old hardcoded 8, which starves at scale.
+    Also not simply "many": Ray's hash join reserves an
+    aggregator-actor memory budget PER PARTITION, so oversizing
+    partitions on a small cluster stalls scheduling instead of adding
+    parallelism (measured: 64 partitions deadlocks a 32-CPU node with
+    two concurrent joins; and per-partition actor spin-up costs ~0.1 s
+    each on an idle run).  ``POLIPUS_JOIN_PARTITIONS`` overrides for
+    cluster tuning."""
+    import os
+
+    env = os.environ.get("POLIPUS_JOIN_PARTITIONS")
+    if env:
+        return int(env)
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
     except Exception:  # pragma: no cover — defensive: never fail a pipeline on introspection
         cpus = 0
-    return max(floor, 2 * cpus)
+    cap = max(floor, 4 * cpus) if cpus else floor
+    if rows is None:
+        return min(max(floor, cpus), cap)
+    return int(min(max(floor, rows // _JOIN_ROWS_PER_PARTITION + 1), cap))
 
 
 def _h64(s: str) -> int:
@@ -264,6 +280,17 @@ def _docs_read(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _parquet_rows(path: str) -> int | None:
+    """Row count from parquet footer metadata only (no data read) —
+    sizes join partitioning without touching the data."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _pack_u64(arr: np.ndarray) -> bytes:
     return np.asarray(arr, dtype=np.uint64).tobytes()
 
@@ -272,14 +299,14 @@ def _unpack_u64(b: bytes) -> np.ndarray:
     return np.frombuffer(b, dtype=np.uint64)
 
 
-def _jaccard_verify_join(cand, sigs, threshold: float, num_partitions: int | None = None):
+def _jaccard_verify_join(cand, sigs, threshold: float, num_partitions: int | None = None, rows: int | None = None):
     """Distributed exact-Jaccard verify: join candidate pairs against
     the (doc_id, sig:binary packed uint64 set) dataset on both sides,
     then compute Jaccard per pair.  The scale path: pairs and
     signatures both shuffle by key; nothing is materialized on the
     driver or broadcast whole (Arrow joins reject list columns, hence
     the packed-binary signature encoding)."""
-    num_partitions = num_partitions or join_partitions()
+    num_partitions = num_partitions or join_partitions(rows)
     j = cand.join(sigs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("doc_id",))
     j = j.join(sigs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
@@ -331,7 +358,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, 
     # sigs feed both the banding pipeline and the verify join
     sigs = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
     cand = _banded_pairs(sigs.map_batches(band_stage, batch_format="pyarrow"), ["band_id", "band_key"])
-    return _jaccard_verify_join(cand, sigs, threshold)
+    n_docs = table.num_rows if table is not None else _parquet_rows(f"{sf_dir}/documents.parquet")
+    return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs)
 
 
 def verify_sorted(ds):
@@ -431,7 +459,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=N
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
     sigs = ds.map_batches(gram_sets, batch_format="pyarrow")
     cand = _banded_pairs(ds.map_batches(explode_prefix, batch_format="pyarrow"), ["gram"])
-    return _jaccard_verify_join(cand, sigs, threshold)
+    n_docs = table.num_rows if table is not None else _parquet_rows(f"{sf_dir}/documents.parquet")
+    return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs)
 
 
 def emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -534,7 +563,7 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
 
     cand = _banded_pairs(ds.map_batches(sig_stage, batch_format="pyarrow"), ["band_id", "band_key"])
     vecs = ds.map_batches(packed_vecs, batch_format="pyarrow")
-    nparts = join_partitions()
+    nparts = join_partitions(_parquet_rows(f"{sf_dir}/embeddings.parquet"))
     j = cand.join(vecs, join_type="inner", num_partitions=nparts, on=("a",), right_on=("doc_id",))
     j = j.join(vecs, join_type="inner", num_partitions=nparts, on=("b",), right_on=("doc_id",), right_suffix="_b")
 

@@ -121,7 +121,7 @@ def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
     return _dedup_pairs_ds(cand).sort(["a", "b"])
 
 
-def _cc_losers_distributed(pairs, max_iters: int = 25):
+def _cc_losers_distributed(pairs, max_iters: int = 25, n_pairs: int | None = None):
     """Connected components over the pair graph as iterated min-label
     propagation — every step is a Ray Data join/groupby, nothing on
     the driver.  Converges when the (monotone non-increasing) label
@@ -155,7 +155,14 @@ def _cc_losers_distributed(pairs, max_iters: int = 25):
     )
     prev_sum = None
     for it in range(max_iters):
-        nbr = edges.join(labels, join_type="inner", num_partitions=join_partitions(), on=("nbr",), right_on=("node",), right_suffix="_l")
+        nbr = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=join_partitions(2 * n_pairs if n_pairs else None),
+            on=("nbr",),
+            right_on=("node",),
+            right_suffix="_l",
+        )
         # nbr columns: node, nbr, label (the neighbor's label)
         prop = nbr.select_columns(["node", "label"]).union(labels)
         labels = prop.groupby("node").aggregate(Min("label")).map_batches(rename_min, batch_format="pyarrow").materialize()
@@ -184,8 +191,9 @@ def phash_neardup_keep_first(ds, id_col: str = "doc_id", max_hamming: int = 4, d
     distributed min-label propagation + an anti-join-style mark, so
     no pair set ever has to fit on the driver."""
     pairs = phash_neardup_pairs(ds, id_col, max_hamming).materialize()
-    if pairs.count() > driver_pair_limit:
-        losers_ds = _cc_losers_distributed(pairs)
+    n_pairs = pairs.count()
+    if n_pairs > driver_pair_limit:
+        losers_ds = _cc_losers_distributed(pairs, n_pairs=n_pairs)
 
         # a loser-side marker column makes null-ness observable after
         # the left_outer join (keepers have no matching loser row)
@@ -201,7 +209,7 @@ def phash_neardup_keep_first(ds, id_col: str = "doc_id", max_hamming: int = 4, d
         j = ds.select_columns([id_col]).join(
             losers_ds.map_batches(add_marker, batch_format="pyarrow"),
             join_type="left_outer",
-            num_partitions=join_partitions(),
+            num_partitions=join_partitions(n_pairs),
             on=(id_col,),
             right_on=("loser",),
         )

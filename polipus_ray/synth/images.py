@@ -101,20 +101,38 @@ def phash64(pixels: np.ndarray) -> int:
 _LUMA = np.array([0.299, 0.587, 0.114])
 
 
-def phash64_batch(pixels4: np.ndarray) -> np.ndarray:
-    """Vectorized phash64 over a stack of SAME-SHAPE images
-    (N, h, w, 3) uint8 -> (N,) uint64.  Bit-identical to per-image
-    phash64 (same op order; pinned by test_synth)."""
+def gray_batch(pixels4: np.ndarray) -> np.ndarray:
+    """(N, h, w, 3) uint8 -> (N, h, w) float64 luma, as one GEMV —
+    bit-identical to per-pixel ``astype(float64) @ _LUMA``."""
     n, h, w, _ = pixels4.shape
-    gray = pixels4.astype(np.float64) @ _LUMA  # (N, h, w)
+    return (pixels4.reshape(n, -1, 3).astype(np.float64) @ _LUMA).reshape(n, h, w)
+
+
+def phash64_from_gray(gray3: np.ndarray) -> np.ndarray:
+    """(N, h, w) float64 grayscale stack -> (N,) uint64 phash.  The
+    two DCT passes run as ONE large GEMM each (reshape trick) instead
+    of N 32x32 GEMMs — bit-identical to the per-slice matmul (same
+    32-element inner products; pinned by test_synth) but without the
+    small-matrix dispatch overhead.  Lets callers compute luma once
+    and hash several subsampled scales of the same gray stack."""
+    n, h, w = gray3.shape
     yi = (np.arange(32) * h // 32).astype(np.int64)
     xi = (np.arange(32) * w // 32).astype(np.int64)
-    small = gray[:, yi[:, None], xi[None, :]]  # (N, 32, 32)
-    coef = (_DCT32 @ small) @ _DCT32.T  # batched GEMMs
+    small = gray3[:, yi[:, None], xi[None, :]]  # (N, 32, 32)
+    x = np.ascontiguousarray(small.transpose(1, 0, 2)).reshape(32, n * 32)
+    t1 = (_DCT32 @ x).reshape(32, n, 32).transpose(1, 0, 2)
+    coef = (np.ascontiguousarray(t1).reshape(n * 32, 32) @ _DCT32.T).reshape(n, 32, 32)
     block = coef[:, :8, :8].reshape(n, 64)
     med = np.median(block, axis=1, keepdims=True)
     bits = (block > med).astype(np.uint8)
     return np.packbits(bits, axis=1).view(">u8").reshape(n).astype(np.uint64)
+
+
+def phash64_batch(pixels4: np.ndarray) -> np.ndarray:
+    """Vectorized phash64 over a stack of SAME-SHAPE images
+    (N, h, w, 3) uint8 -> (N,) uint64.  Bit-identical to per-image
+    phash64 (same op order; pinned by test_synth)."""
+    return phash64_from_gray(gray_batch(pixels4))
 
 
 def phash_batch(datas: list[bytes]) -> np.ndarray:
