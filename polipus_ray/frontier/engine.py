@@ -126,6 +126,51 @@ def read_pages_dir(pages_root: str, columns: list[str] | None = None) -> pa.Tabl
     return t
 
 
+_EMIT_FILE_TASK = None
+
+
+def _emit_file_task():
+    """Lazily-decorated remote task (engine must import without an
+    initialized Ray): dataset-mode analogue of Fetcher.emit_frontier —
+    reads its OWN spooled candidate file, takes the admitted rows,
+    stamps the driver-assigned seqs and writes chunked spill parts."""
+    global _EMIT_FILE_TASK
+    if _EMIT_FILE_TASK is None:
+        import ray
+
+        @ray.remote(num_cpus=0.25)
+        def emit_frontier_from_file(path: str, loc, seqs, spill_path: str):
+            cand = pq.read_table(path)
+            sub = cand.take(pa.array(np.asarray(loc, dtype=np.int64)))
+            n = sub.num_rows
+            ft = pa.table(
+                {
+                    "url": sub["url"],
+                    "host": sub["host"],
+                    "url_hash": sub["url_hash"],
+                    "host_hash": sub["host_hash"],
+                    "host_bucket": sub["host_bucket"],
+                    "referer": sub["referer"],
+                    "depth": sub["depth"],
+                    "seeded": pa.array(np.zeros(n, dtype=bool)),
+                    "seq": pa.array(np.asarray(seqs, dtype=np.int64), pa.int64()),
+                    "priority": pa.array(np.zeros(n, dtype=np.int64)),
+                    "attempt": pa.array(np.zeros(n, dtype=np.int32)),
+                    "user_data": pa.array(["{}"] * n, pa.string()),
+                }
+            )
+            out = []
+            for off in range(0, n, 16384):
+                chunk = ft.slice(off, 16384)
+                cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
+                pq.write_table(chunk, cp, compression="lz4")
+                out.append({"path": cp, "rows": chunk.num_rows})
+            return out
+
+        _EMIT_FILE_TASK = emit_frontier_from_file
+    return _EMIT_FILE_TASK
+
+
 class CrawlEngine:
     """One crawl job over a synthetic world directory.
 
@@ -429,6 +474,11 @@ class CrawlEngine:
         enqueued = 0
         if self._last_enqueued is not None:
             enqueued = self._last_enqueued  # relaxed mode: admitted in-actor
+        elif stored_rows > 0 and cand is None and not local and self.use_ray and self.cfg.fetch_mode == "dataset":
+            # dataset-mode scale path: spooled candidates + narrow-key
+            # admission (no driver materialization, same property as
+            # pool mode)
+            enqueued += self._admit_candidate_files(round_dir, r, now)
         elif stored_rows > 0:
             if cand is None:
                 cand = self._extract_candidates(round_dir, local)
@@ -617,19 +667,30 @@ class CrawlEngine:
         seq-ordered (seq labels, stored set and per-URL metadata stay
         exact; only which slice a row lands in can shift).  With the
         wave inside the active limit the order is strictly FIFO."""
+        cks, tags = [], []
+        for i, res in enumerate(results):
+            ck = res.get("cand_keys")
+            if ck is not None and ck.num_rows:
+                cks.append(ck)
+                tags.append(ref_actors[i])
+        return self._admit_keys_core(cks, tags, lambda a, loc, seqs: actors[a].emit_frontier.remote(loc, seqs), now)
+
+    def _admit_keys_core(self, cks: list[pa.Table], tags: list[int], emit, now: int) -> int:
+        """Shared narrow-key admission: ``cks[k]`` are the 28-byte key
+        tables of unit ``tags[k]`` (a pool actor or a spooled candidate
+        file), in that unit's local row order; ``emit(tag, loc, seqs)``
+        must return a ray ref resolving to the unit's written spill
+        parts ([{path, rows}])."""
         import ray
 
         uh_l, hh_l, ps_l, li_l, act_l, loc_l = [], [], [], [], [], []
-        for i, res in enumerate(results):
-            ck = res.get("cand_keys")
-            if ck is None or ck.num_rows == 0:
-                continue
+        for ck, tag in zip(cks, tags):
             n = ck.num_rows
             uh_l.append(ck["url_hash"].to_numpy())
             hh_l.append(ck["host_hash"].to_numpy())
             ps_l.append(ck["parent_seq"].to_numpy())
             li_l.append(ck["link_idx"].to_numpy())
-            act_l.append(np.full(n, ref_actors[i], dtype=np.int32))
+            act_l.append(np.full(n, tag, dtype=np.int32))
             loc_l.append(np.arange(n, dtype=np.int64))
         if not uh_l:
             return 0
@@ -675,7 +736,7 @@ class CrawlEngine:
         refs = []
         for a in sorted(set(act[admit].tolist())):
             sel = admit & (act == a)
-            refs.append(actors[a].emit_frontier.remote(loc[sel], seqs[sel]))
+            refs.append(emit(a, loc[sel], seqs[sel]))
         # round-robin registration of the actors' chunked parts (see
         # the relaxed path: spreads active-slice cut boundaries)
         per_actor = [list(spill) for spill in ray.get(refs) if spill]
@@ -762,6 +823,38 @@ class CrawlEngine:
         return res["cand"] if res["cand"] is not None else self._empty_candidates()
 
     # -- candidates --------------------------------------------------------
+    def _admit_candidate_files(self, round_dir: str, r: int, now: int) -> int:
+        """Dataset-mode candidate path with the SAME
+        no-driver-materialization property as pool mode: link
+        extraction runs distributed and spools candidates as parquet
+        parts; the driver reads ONLY the 28-byte admission keys per
+        file (columns-pruned), runs global FIFO admission, then remote
+        tasks re-read their own file and write the admitted rows as
+        spill parts — candidate strings never cross the driver."""
+        import ray
+        import ray.data
+
+        cand_dir = os.path.join(self.run_dir, "cand", f"round={r}")
+        shutil.rmtree(cand_dir, ignore_errors=True)
+        extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self.world["robots"])
+        ds = ray.data.read_parquet(round_dir, columns=PAGE_NARROW)
+        ds.map_batches(extractor, batch_format="pyarrow", batch_size=4096).write_parquet(cand_dir)
+        files = sorted(glob.glob(os.path.join(cand_dir, "*.parquet")))
+        cks, tags = [], []
+        for fi, f in enumerate(files):
+            ck = pq.read_table(f, columns=["url_hash", "host_hash", "parent_seq", "link_idx"])
+            if ck.num_rows:
+                cks.append(ck)
+                tags.append(fi)
+        task = _emit_file_task()
+
+        def emit(fi: int, loc: np.ndarray, seqs: np.ndarray):
+            return task.remote(files[fi], loc, seqs, os.path.join(self.spill.root, f"dscand-r{r}-f{fi}.parquet"))
+
+        n = self._admit_keys_core(cks, tags, emit, now)
+        shutil.rmtree(cand_dir, ignore_errors=True)
+        return n
+
     def _extract_candidates(self, round_dir: str, local: bool) -> pa.Table:
         extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self.world["robots"])
         if local:
