@@ -111,18 +111,21 @@ def gray_batch(pixels4: np.ndarray) -> np.ndarray:
 def phash64_from_gray(gray3: np.ndarray) -> np.ndarray:
     """(N, h, w) float64 grayscale stack -> (N,) uint64 phash.  The
     two DCT passes run as ONE large GEMM each (reshape trick) instead
-    of N 32x32 GEMMs — bit-identical to the per-slice matmul (same
-    32-element inner products; pinned by test_synth) but without the
-    small-matrix dispatch overhead.  Lets callers compute luma once
-    and hash several subsampled scales of the same gray stack."""
+    of N 32x32 GEMMs, and only the 8 low-frequency DCT rows/cols the
+    hash reads are computed (``_DCT32[:8]``) — each retained
+    coefficient is the same 32-element inner product, so the result is
+    bit-identical to the full 32x32 transform (pinned by test_synth)
+    at ~1/10 the FLOPs and intermediate traffic.  Lets callers compute
+    luma once and hash several subsampled scales of the same gray
+    stack."""
     n, h, w = gray3.shape
     yi = (np.arange(32) * h // 32).astype(np.int64)
     xi = (np.arange(32) * w // 32).astype(np.int64)
     small = gray3[:, yi[:, None], xi[None, :]]  # (N, 32, 32)
+    d8 = _DCT32[:8]
     x = np.ascontiguousarray(small.transpose(1, 0, 2)).reshape(32, n * 32)
-    t1 = (_DCT32 @ x).reshape(32, n, 32).transpose(1, 0, 2)
-    coef = (np.ascontiguousarray(t1).reshape(n * 32, 32) @ _DCT32.T).reshape(n, 32, 32)
-    block = coef[:, :8, :8].reshape(n, 64)
+    t1 = (d8 @ x).reshape(8, n, 32).transpose(1, 0, 2)
+    block = (np.ascontiguousarray(t1).reshape(n * 8, 32) @ d8.T).reshape(n, 64)
     med = np.median(block, axis=1, keepdims=True)
     bits = (block > med).astype(np.uint8)
     return np.packbits(bits, axis=1).view(">u8").reshape(n).astype(np.uint64)
