@@ -62,7 +62,11 @@ def bench_crawl(world_dir: str) -> dict:
     cfg = CrawlConfig(
         depth_limit=False,
         obey_robots_txt=True,
-        workers=NUM_CPUS,  # actors reserve 0.9 CPU; headroom remains
+        # GRAFT_WORKERS overrides the fetch-actor pool size; default
+        # leaves 2 cores for driver+raylet+shards once the box is
+        # saturated (>=16 cpus) — oversubscribing all cores with 0.9-CPU
+        # actors costs ~contention at hi concurrency (BASELINE.md r3)
+        workers=int(os.environ.get("GRAFT_WORKERS", NUM_CPUS if NUM_CPUS < 16 else NUM_CPUS - 2)),
         fetch_batch_size=4096,
         num_seen_shards=8,
         checkpoint=False,

@@ -159,6 +159,14 @@ class Fetcher:
         self._extractor = None
         self._pending_cand: pa.Table | None = None
         self._pending_spill_path: str | None = None
+        self._bucket_lut: np.ndarray | None = None
+
+    def set_bucket_lut(self, lut: np.ndarray) -> None:
+        """bucket -> actor assignment, shipped once at pool creation so
+        ``run_round_batch(select_mine=True)`` can select this actor's
+        rows from the round's shared plasma frontier table (the driver
+        no longer slices/serializes per-actor sub-tables)."""
+        self._bucket_lut = np.asarray(lut, dtype=np.int64)
 
     # -- web-table partition cache ---------------------------------------
     def _bucket_of(self, url: str) -> int:
@@ -537,17 +545,28 @@ class Fetcher:
         return t
 
     # -- persistent-pool round method (fetch_mode='pool') ------------------
-    def run_round_batch(self, batch: pa.Table, round_no: int, now: int, out_path: str, spill_path: str | None = None, actor_id: int = 0) -> dict:
+    def run_round_batch(self, batch: pa.Table, round_no: int, now: int, out_path: str, spill_path: str | None = None, actor_id: int = 0, select_mine: bool = False) -> dict:
         """One actor's share of a round: prefilter+fetch (__call__),
         before_save hooks, storable filter, mark-stored, except-drop,
         parquet write, fused link extraction.  Returns counts + the
         narrow candidate table (policy-prefiltered).  Reuses the exact
-        same stage callables as the Dataset path."""
+        same stage callables as the Dataset path.
+
+        ``select_mine``: ``batch`` is the round's WHOLE frontier table
+        (one shared plasma object); filter to the rows whose bucket the
+        LUT assigns to this actor.  The filter preserves original row
+        order — identical rows/order to the old driver-side
+        stable-sort + take scatter (parity suite)."""
         from ..frontier.stages import PAGE_NARROW, filter_storable, make_link_extractor, make_mark_stored
 
         self.round_no = round_no
         self.now = now
         tm: dict[str, float] = {}
+        if select_mine:
+            if self._bucket_lut is None:
+                raise RuntimeError("select_mine requires set_bucket_lut() first")
+            mine = self._bucket_lut[batch["host_bucket"].to_numpy().astype(np.int64)] == actor_id
+            batch = batch.filter(pa.array(mine))
         deferred = None
         cap = int(self.cfg.max_urls_per_host_per_round or 0)
         if cap > 0 and batch.num_rows:

@@ -374,6 +374,9 @@ class CrawlEngine:
 
     # -- one round ---------------------------------------------------------
     def _run_round(self) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         r = self.round_no
         now = self._now()
         active_paths, active_rows = self.spill.take_active()
@@ -410,8 +413,10 @@ class CrawlEngine:
         for p in self.plugins:
             getattr(p, "on_after_download", lambda e: None)(self)
 
+        _t1 = _time.perf_counter()
         page_files = glob.glob(os.path.join(round_dir, "*.parquet"))
         removed = self._dedup_round_output(page_files)
+        _t2 = _time.perf_counter()
         if self._last_counts is not None:
             stored_rows = self._last_counts[0] - removed
             error_rows = self._last_counts[1]
@@ -471,6 +476,7 @@ class CrawlEngine:
                 for fn in self._on_page_downloaded:
                     fn(full)
 
+        _t3 = _time.perf_counter()
         enqueued = 0
         if self._last_enqueued is not None:
             enqueued = self._last_enqueued  # relaxed mode: admitted in-actor
@@ -500,6 +506,13 @@ class CrawlEngine:
             # link extraction then vanish; exists? stays always-false
             shutil.rmtree(round_dir, ignore_errors=True)
 
+        _t4 = _time.perf_counter()
+        if self._last_phases is not None:
+            # driver-side round segments outside the fetch barrier (the
+            # scaling-relevant serial fraction; see BASELINE.md r3)
+            self._last_phases["drv_dedup_out"] = _t2 - _t1
+            self._last_phases["drv_hooks_admit"] = _t4 - _t3
+            self._last_phases["round_total"] = _t4 - _t0
         self.metrics.append(
             {
                 "round": r,
@@ -555,6 +568,12 @@ class CrawlEngine:
             kw.update(before_save_hooks=self._on_before_save, focus_crawl=self._focus_crawl)
             self._fetch_actors = [A.remote(**kw) for _ in range(W)]
             self._bucket_lut = self._balanced_bucket_lut(W)
+            # ship the bucket->actor LUT once: each actor selects its
+            # own rows from the round's shared plasma frontier table,
+            # so the driver never take()s/serializes per-actor slices
+            # (that scatter loop was the dominant serial cost at high W)
+            lref = ray.put(self._bucket_lut)
+            ray.get([a.set_bucket_lut.remote(lref) for a in self._fetch_actors])
         return self._fetch_actors
 
     def _balanced_bucket_lut(self, W: int) -> np.ndarray:
@@ -585,27 +604,30 @@ class CrawlEngine:
         s = _time.perf_counter()
         t = pa.concat_tables([pq.read_table(p) for p in active_paths])
         ph["read_frontier"] = _time.perf_counter() - s
+        s = _time.perf_counter()
         actors = self._ensure_fetch_pool()
         W = len(actors)
         aid = self._bucket_lut[t["host_bucket"].to_numpy().astype(np.int64)]
-        order = np.argsort(aid, kind="stable")
-        bounds = np.searchsorted(aid[order], np.arange(W + 1))
+        counts = np.bincount(aid, minlength=W)
         relaxed = not self.cfg.deterministic_order
+        # ONE plasma write of the round's frontier; every actor reads it
+        # zero-copy and filters to its own buckets (select_mine) — the
+        # driver no longer take()s + serializes W sub-tables serially
+        tref = ray.put(t)
         refs = []
         ref_actors = []
         sizes = []
         for a in range(W):
-            lo, hi = bounds[a], bounds[a + 1]
-            if lo == hi:
+            if counts[a] == 0:
                 continue
-            sub = t.take(pa.array(order[lo:hi]))
             spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet")
-            refs.append(actors[a].run_round_batch.remote(sub, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a))
+            refs.append(actors[a].run_round_batch.remote(tref, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a, True))
             ref_actors.append(a)
-            sizes.append(hi - lo)
+            sizes.append(int(counts[a]))
         if sizes:
             ph["rows_max"] = float(max(sizes))
             ph["rows_mean"] = float(sum(sizes) / len(sizes))
+        ph["scatter"] = _time.perf_counter() - s
         s = _time.perf_counter()
         results = ray.get(refs)
         ph["fetch_barrier"] = _time.perf_counter() - s
@@ -627,6 +649,7 @@ class CrawlEngine:
             # parts: any later active-slice cut boundary then spreads
             # the leftover across the pool instead of concentrating on
             # the last few actors' (same-host-destined) parts
+            s = _time.perf_counter()
             enq = 0
             per_actor = [list(res["spill"]) for res in results if res.get("spill")]
             while per_actor:
@@ -639,6 +662,7 @@ class CrawlEngine:
                         nxt.append(parts)
                 per_actor = nxt
             self._last_enqueued = enq
+            ph["register"] = _time.perf_counter() - s
             self._last_phases = ph
             return None
         s = _time.perf_counter()
