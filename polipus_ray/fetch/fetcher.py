@@ -772,50 +772,75 @@ class Fetcher:
         """Decode each image payload and verify the stored perceptual
         hash (per-row decoded-pixel invariant, SURVEY.md M15).  With
         ``phash_scales > 1`` also fingerprints downsampled scales (a
-        multi-scale fingerprint pyramid).  Vectorized: images are
-        grouped by shape and hashed as batched GEMMs (phash64_batch is
-        bit-identical to the scalar phash64)."""
-        from ..synth.images import decode_image, gray_batch, phash64_from_gray
+        multi-scale fingerprint pyramid).
+
+        Fully vectorized: the codec's layout is a fixed 12-byte header
+        + raw h*w*3 pixels, so decode is ONE fancy-index gather per
+        shape group straight out of the Arrow binary column's data
+        buffer (no per-row ``decode_image`` call, no np.stack of N tiny
+        arrays), then batched-GEMM hashing (bit-identical to the scalar
+        ``phash64``; pinned by test_synth / the PSNR test)."""
+        import pyarrow.compute as pc
+
+        from ..synth.images import _HDR, _MAGIC, gray_batch, phash64_from_gray
 
         scales = max(1, int(self.cfg.phash_scales))
-        ph = pages["phash"].to_pylist()
-        blobs = pages["bytes"].to_pylist()
-        n = len(blobs)
+        n = pages.num_rows
         ok = np.zeros(n, dtype=bool)
-        groups: dict[tuple[int, int], tuple[list[int], list[np.ndarray]]] = {}
-        for i, data in enumerate(blobs):
-            if data is None:
-                continue
-            try:
-                px, _, _, _ = decode_image(data)
-            except (ValueError, NotImplementedError):
-                continue
-            g = groups.setdefault(px.shape[:2], ([], []))
-            g[0].append(i)
-            g[1].append(px)
+        col = pages["bytes"].combine_chunks()
+        if n == 0:
+            return pages.append_column("payload_ok", pa.array(ok, pa.bool_()))
+        off0 = col.offset
+        odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=odt)[off0 : off0 + n + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        starts = offs[:-1]
+        lens = offs[1:] - starts
+        valid = np.ones(n, bool) if col.null_count == 0 else pc.is_valid(col).to_numpy(zero_copy_only=False)
+        cand = np.nonzero(valid & (lens >= _HDR))[0]
+        if cand.size == 0:
+            return pages.append_column("payload_ok", pa.array(ok, pa.bool_()))
+        hdr = data[starts[cand, None] + np.arange(_HDR)]
+        magic = np.frombuffer(_MAGIC, dtype=np.uint8)
+        hw = hdr[:, 8].astype(np.int64) | (hdr[:, 9].astype(np.int64) << 8)
+        hh = hdr[:, 10].astype(np.int64) | (hdr[:, 11].astype(np.int64) << 8)
+        good = (
+            (hdr[:, :4] == magic).all(axis=1)  # decode_image's magic check
+            & (lens[cand] >= _HDR + hh * hw * 3)  # frombuffer(count=...) would raise
+            & (hh > 0)
+            & (hw > 0)
+        )
+        cand, hw, hh = cand[good], hw[good], hh[good]
+        want_none = pc.is_null(pages["phash"]).combine_chunks().to_numpy(zero_copy_only=False)
+        want_u64 = pc.fill_null(pages["phash"], 0).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         # chunked: the float64 DCT pyramid of a whole 60k-row round
         # would peak ~2 GB per actor (x W actors = memory-pressure
-        # stalls); 2048-image chunks keep the peak ~70 MB with the
-        # same vectorization win
-        CHUNK = 2048
-        for (h, w), (idxs, pxs) in groups.items():
-            for off in range(0, len(idxs), CHUNK):
-                stack = np.stack(pxs[off : off + CHUNK])
+        # stalls).  512 keeps the chunk's gray stack + gathers ~3 MB —
+        # cache-resident under full-box concurrency: measured 2.3x
+        # faster than 2048-image chunks at 30 parallel workers (and
+        # only ~13% slower at 30-way than at 8-way, vs DRAM-bound
+        # streaming at larger chunks — directly lifts 8->32 scaling)
+        CHUNK = int(os.environ.get("POLIPUS_VERIFY_CHUNK", "512"))
+        for key in np.unique((hh << 16) | hw):
+            h, w = int(key >> 16), int(key & 0xFFFF)
+            m = h * w * 3
+            sel = cand[((hh << 16) | hw) == key]
+            body = np.arange(m) + _HDR
+            for off in range(0, sel.size, CHUNK):
+                s2 = sel[off : off + CHUNK]
+                px = data[starts[s2, None] + body].reshape(-1, h, w, 3)
                 # luma ONCE per chunk; every pyramid level subsamples
                 # the same gray stack (selecting gray pixels commutes
                 # with per-pixel luma, so each level is bit-identical
                 # to hashing the subsampled uint8 image)
-                gray = gray_batch(stack)
+                gray = gray_batch(px)
                 got = phash64_from_gray(gray)
                 for s in range(1, scales):
                     side = max(4, 32 >> s)
                     yi = (np.arange(side) * h // side).astype(np.int64)
                     xi = (np.arange(side) * w // side).astype(np.int64)
                     phash64_from_gray(gray[:, yi[:, None], xi[None, :]])  # pyramid levels (fingerprint work)
-                want = [ph[i] for i in idxs[off : off + CHUNK]]
-                w_none = np.array([v is None for v in want], bool)
-                w_u64 = np.array([0 if v is None else v for v in want], np.int64).view(np.uint64)
-                ok[np.asarray(idxs[off : off + CHUNK])] = w_none | (got == w_u64)
+                ok[s2] = want_none[s2] | (got == want_u64[s2])
         return pages.append_column("payload_ok", pa.array(ok, pa.bool_()))
 
     def preload(self, buckets: list[int]) -> int:
