@@ -629,6 +629,36 @@ class Fetcher:
         if unstorable is not None:
             drop = set(self.cfg.storage_except or ()) | {"bytes"}
             unstorable = unstorable.drop_columns([c for c in drop if c in unstorable.column_names])
+        # within-round uuid dedup, min-seq wins (reference FIFO
+        # page_exists? serialization, polipus.rb:209-213): done
+        # IN-ACTOR because duplicate finals are always same-host
+        # (cross-host redirects stop the chain) and a host lives on
+        # exactly one actor — per-actor dedup IS the global dedup, so
+        # the driver skips its _dedup_round_output pass (`deduped`
+        # flag).  Losers are dropped BEFORE extract: their links are
+        # byte-duplicates of the winner's and the winner's lower
+        # parent_seq wins first-occurrence admission either way
+        # (parity suite pins this).
+        if pages.num_rows:
+            huh = pages["url_hash"].to_numpy()
+            sq = pages["seq"].to_numpy()
+            uniq_h, inv, cnt = np.unique(huh, return_inverse=True, return_counts=True)
+            if (cnt > 1).any():
+                best = np.full(len(uniq_h), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(best, inv, sq)
+                is_dup = cnt[inv] > 1
+                loser = is_dup & (sq != best[inv])
+                if loser.any():
+                    # losers may have overwritten the winners' manifest
+                    # entry via the fused mark-stored — re-assert
+                    winner = is_dup & (sq == best[inv])
+                    if self.cfg.storage != "devnull" and self.pool is not None:
+                        self.pool.mark_stored(
+                            huh[winner].astype(np.int64).view(np.uint64),
+                            pages["host_hash"].to_numpy()[winner].astype(np.int64).view(np.uint64),
+                            pages["fetched_at"].to_numpy()[winner],
+                        )
+                    pages = pages.filter(pa.array(~loser))
         stored = pages.num_rows
         errors = pages.num_rows - pages["error"].null_count if stored else 0
         s = time.perf_counter()
@@ -726,6 +756,7 @@ class Fetcher:
             "unstorable": unstorable,
             "path": out_path if stored else None,
             "timings": tm,
+            "deduped": True,  # within-round uuid dedup already applied
         }
 
     def emit_frontier(self, admitted_idx: np.ndarray, seqs: np.ndarray) -> list[dict] | None:

@@ -404,6 +404,7 @@ class CrawlEngine:
         self._last_keys = None  # narrow dedup keys from pool rounds
         self._last_unstorable = None  # narrow unstorable pages (hook parity)
         self._last_phases = None  # per-phase driver timings (pool rounds)
+        self._round_deduped = False  # set when every actor deduped in-round
         if local:
             cand = self._fetch_store_local(active_paths, round_dir, r, now)
         elif self.cfg.fetch_mode == "pool":
@@ -415,7 +416,9 @@ class CrawlEngine:
 
         _t1 = _time.perf_counter()
         page_files = glob.glob(os.path.join(round_dir, "*.parquet"))
-        removed = self._dedup_round_output(page_files)
+        # pool rounds dedup in-actor (duplicate finals are same-host =>
+        # same actor); the driver pass remains for local/dataset paths
+        removed = 0 if self._round_deduped else self._dedup_round_output(page_files)
         _t2 = _time.perf_counter()
         if self._last_counts is not None:
             stored_rows = self._last_counts[0] - removed
@@ -636,6 +639,7 @@ class CrawlEngine:
             for k, v in (res.get("timings") or {}).items():
                 ph[f"actor_{k}_max"] = max(ph.get(f"actor_{k}_max", 0.0), v)
         self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
+        self._round_deduped = all(r_.get("deduped") for r_ in results) if results else False
         ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]
         self._last_keys = pa.concat_tables(ks) if ks else None
         self._last_unstorable = [r_.get("unstorable") for r_ in results]
