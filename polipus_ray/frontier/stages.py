@@ -119,11 +119,170 @@ def make_prefetch_filter(robots_bodies: dict, cfg: CrawlConfig, pool, now: int):
     return prefetch_filter
 
 
+# Arrow-RE2 patterns for the vectorized extractor.  The fast-path
+# test must be a SUBSET of urltools._FAST_RE's Python-re semantics so
+# RE2 rejects fall back to canonicalize() (which re-applies its own
+# fast/slow logic) — any engine divergence then costs only speed,
+# never output.  The one known divergence: Python's ``$`` also matches
+# before a trailing newline, RE2's does not, so RE2 strictly rejects
+# more (tested in test_urltools).
+_FAST_PAT = r"^https?://[A-Za-z0-9._~\-]+(:[0-9]+)?/[A-Za-z0-9._~!$&'()*+,;=:@/\-]*(\?[A-Za-z0-9._~!$&'()*+,;=:@/\-]+)?$"
+_DOT_PAT = r"/\.{1,2}(/|\?|$)"
+_HTML_PAT = _HTML_RE.pattern  # anchored, RE2-compatible
+_NETLOC_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[^/?#]*)"
+
+_CAND_SCHEMA = {
+    "url": pa.string(),
+    "host": pa.string(),
+    "url_hash": pa.int64(),
+    "host_hash": pa.int64(),
+    "host_bucket": pa.int32(),
+    "referer": pa.string(),
+    "depth": pa.int32(),
+    "parent_seq": pa.int64(),
+    "link_idx": pa.int32(),
+}
+
+
+def _empty_cand() -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in _CAND_SCHEMA.items()})
+
+
 def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 16, robots_bodies: dict | None = None):
     """Pages (narrow) -> candidate link rows.  When ``robots_bodies``
     is given, the enqueue-policy prefix (robots/whitelist/blacklist)
     is fused into this stage so candidates arrive pre-filtered and
-    only the tracker/TTL step remains (driver-side)."""
+    only the tracker/TTL step remains (driver-side).
+
+    Two implementations, identical outputs (equivalence pinned in
+    test_crawl): a VECTORIZED path (Arrow list_flatten + RE2 kernels +
+    batched md5; ~2.5-3x the row loop — this was the largest actor
+    phase of the crawl barrier) and the original row loop, kept for
+    ``focus_crawl`` (the user hook receives per-page row dicts)."""
+    if focus_crawl is None:
+        return _make_link_extractor_vec(cfg, num_buckets, robots_bodies)
+    return _make_link_extractor_rows(cfg, focus_crawl, num_buckets, robots_bodies)
+
+
+def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: dict | None):
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    from ..urltools import strip_query
+
+    aliases = set(cfg.domain_aliases)
+    inc = cfg.include_query_string_in_saved_page
+    policy = compile_policy(robots_bodies, cfg) if robots_bodies is not None else None
+    alias_arr = pa.array(sorted(aliases)) if aliases else None
+
+    def link_extractor(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _empty_cand()
+        # page-level gates: error-free, depth allowed, HTML-ish
+        err = batch["error"]
+        err_ok = pc.fill_null(pc.or_kleene(pc.is_null(err), pc.equal(err, "")), False).to_numpy(zero_copy_only=False)
+        depth = batch["depth"].to_numpy()
+        d_ok = np.zeros(n, dtype=bool)
+        for d in np.unique(depth):
+            if cfg.depth_allowed(int(d)):
+                d_ok |= depth == d
+        html = pc.fill_null(pc.match_substring_regex(pc.fill_null(batch["content_type"], ""), _HTML_PAT), False).to_numpy(zero_copy_only=False)
+        page_keep = err_ok & d_ok & html
+        if not page_keep.any():
+            return _empty_cand()
+        sub = batch.filter(pa.array(page_keep))
+        links = sub["links"].combine_chunks()
+        parent = np.asarray(pc.list_parent_indices(links)).astype(np.int64)
+        flat = pc.list_flatten(links)
+        m = len(flat)
+        if m == 0:
+            return _empty_cand()
+        # canonicalize: RE2 fast-path passthrough; the rest through
+        # the full python canonicalize (rare on clean corpora)
+        fastm = pc.match_substring_regex(flat, _FAST_PAT)
+        dots = pc.match_substring_regex(flat, _DOT_PAT)
+        fast = pc.fill_null(pc.and_(fastm, pc.invert(dots)), False).to_numpy(zero_copy_only=False)
+        canon_arr = flat
+        slow_idx = np.flatnonzero(~fast)
+        if slow_idx.size:
+            raw_slow = flat.take(pa.array(slow_idx)).to_pylist()
+            base_col = sub["base_href"].to_pylist() if "base_href" in sub.column_names else [None] * sub.num_rows
+            url_col = sub["url"].to_pylist()
+            repl = [canonicalize(raw, base_col[pi] or url_col[pi]) for raw, pi in zip(raw_slow, parent[slow_idx])]
+            mask_slow = np.zeros(m, dtype=bool)
+            mask_slow[slow_idx] = True
+            canon_arr = pc.replace_with_mask(flat, pa.array(mask_slow), pa.array(repl, pa.string()))
+        valid = pc.is_valid(canon_arr).to_numpy(zero_copy_only=False)
+        # host_of, vectorized for plain ascii netlocs without
+        # userinfo/port; python host_of for the rest
+        netloc = pc.struct_field(pc.extract_regex(canon_arr, _NETLOC_PAT), "h")
+        simple = pc.fill_null(
+            pc.and_(pc.string_is_ascii(netloc), pc.invert(pc.match_substring_regex(netloc, "[@:]"))), False
+        ).to_numpy(zero_copy_only=False)
+        host_arr = pc.utf8_lower(pc.fill_null(netloc, ""))
+        fb = np.flatnonzero(valid & ~simple)
+        if fb.size:
+            canon_fb = canon_arr.take(pa.array(fb)).to_pylist()
+            mask_fb = np.zeros(m, dtype=bool)
+            mask_fb[fb] = True
+            host_arr = pc.replace_with_mask(host_arr, pa.array(mask_fb), pa.array([host_of(c) for c in canon_fb], pa.string()))
+        # in-domain filter (page.rb:201-204)
+        page_host = pc.take(sub["host"].combine_chunks(), pa.array(parent))
+        same = pc.fill_null(pc.equal(host_arr, page_host), False).to_numpy(zero_copy_only=False)
+        if alias_arr is not None:
+            same |= pc.fill_null(pc.is_in(host_arr, value_set=alias_arr), False).to_numpy(zero_copy_only=False)
+        sel0 = np.flatnonzero(valid & same)
+        if sel0.size == 0:
+            return _empty_cand()
+        # per-page first-occurrence dedup (page.rb:68 Set semantics)
+        codes = pc.dictionary_encode(canon_arr.take(pa.array(sel0))).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        _, first = np.unique((parent[sel0] << 32) | codes, return_index=True)
+        sel = sel0[np.sort(first)]
+        canon_f = canon_arr.take(pa.array(sel))
+        host_f = host_arr.take(pa.array(sel))
+        parent_f = parent[sel]
+        # per-page link_idx over emitted rows (parent_f nondecreasing)
+        _, firstpos, counts = np.unique(parent_f, return_index=True, return_counts=True)
+        li = (np.arange(sel.size) - np.repeat(firstpos, counts)).astype(np.int32)
+        # url_hash64: one md5 per url, digests joined then viewed as
+        # big-endian u64 (identical bit pattern to _i64(hash64(u)))
+        urls_l = canon_f.to_pylist()
+        hash_src = urls_l if inc else [strip_query(u) for u in urls_l]
+        digests = b"".join([_hl.md5(u.encode("utf-8", "surrogatepass")).digest() for u in hash_src])
+        urlh = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 16)[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64).view(np.int64)
+        # host hashes via per-batch dictionary (few distinct hosts)
+        hd = pc.dictionary_encode(host_f)
+        hosts_uni = hd.dictionary.to_pylist()
+        hidx = hd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hh_uni = np.array([_i64(host_hash64(h)) for h in hosts_uni], dtype=np.int64)
+        hb_uni = (hh_uni.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        seq_sub = sub["seq"].to_numpy()
+        depth_sub = sub["depth"].to_numpy()
+        t = pa.table(
+            {
+                "url": canon_f,
+                "host": host_f,
+                "url_hash": pa.array(urlh, pa.int64()),
+                "host_hash": pa.array(hh_uni[hidx], pa.int64()),
+                "host_bucket": pa.array(hb_uni[hidx], pa.int32()),
+                "referer": pc.take(sub["url"].combine_chunks(), pa.array(parent_f)),
+                "depth": pa.array((depth_sub[parent_f] + 1).astype(np.int32), pa.int32()),
+                "parent_seq": pa.array(seq_sub[parent_f], pa.int64()),
+                "link_idx": pa.array(li, pa.int32()),
+            }
+        )
+        if policy is not None and t.num_rows:
+            robots, follow, skip = policy
+            keep = _policy_mask(urls_l, host_f.to_pylist(), robots, follow, skip)
+            t = t.filter(pa.array(keep))
+        return t
+
+    return link_extractor
+
+
+def _make_link_extractor_rows(cfg: CrawlConfig, focus_crawl, num_buckets: int, robots_bodies: dict | None):
     aliases = set(cfg.domain_aliases)
     inc = cfg.include_query_string_in_saved_page
     policy = compile_policy(robots_bodies, cfg) if robots_bodies is not None else None

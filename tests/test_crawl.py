@@ -612,3 +612,82 @@ def test_hooks_wide_columns_pad_unstorable(ray_session, world_dir, tmp_path):
     # the hook, with the full requested column set
     assert sum(n_404) > 0
     assert all(cols == ["url", "code", "error", "bytes"] for cols in got_cols)
+
+
+def test_link_extractor_vectorized_equals_row_loop():
+    """The Arrow-RE2 vectorized extractor must be byte-identical to the
+    row-loop implementation (kept for focus_crawl) on messy inputs:
+    relative links, dot segments, percent/space escapes, fragments,
+    userinfo/ports, null links, duplicate links, non-HTML pages,
+    errors, trailing newlines (the one known RE2-vs-re divergence:
+    RE2 rejects to the slow path, which re-applies the Python fast
+    path — output unchanged)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from polipus_ray.frontier.stages import _make_link_extractor_rows, make_link_extractor
+
+    rng = np.random.default_rng(7)
+    hosts = [f"host-{i}.example" for i in range(20)]
+    robots = {h: ("User-agent: *\nDisallow: /private\n" if i % 3 == 0 else "") for i, h in enumerate(hosts)}
+
+    def mkbatch(n_pages):
+        cols = {k: [] for k in ("url", "host", "links", "depth", "seq", "code", "content_type", "error", "base_href")}
+        for i in range(n_pages):
+            h = hosts[rng.integers(len(hosts))]
+            lk = []
+            for _ in range(int(rng.integers(0, 9))):
+                th = hosts[rng.integers(len(hosts))] if rng.random() < 0.3 else h
+                c = rng.random()
+                if c < 0.55:
+                    lk.append(f"http://{th}/doc/{rng.integers(0, 99999)}")
+                elif c < 0.62:
+                    lk.append(f"/rel/{rng.integers(0,99)}")
+                elif c < 0.69:
+                    lk.append(f"http://{th}/a/../b/{rng.integers(0,99)}")
+                elif c < 0.76:
+                    lk.append(f"http://{th}/p%41th/{rng.integers(0,99)}#frag")
+                elif c < 0.82:
+                    lk.append(None)
+                elif c < 0.87:
+                    lk.append(f"http://{th}/x y/{rng.integers(0,99)}")
+                elif c < 0.92:
+                    lk.append(f"http://USER@{th.upper()}:80/q/{rng.integers(0,99)}")
+                elif c < 0.96:
+                    lk.append(f"http://{th}/doc/{rng.integers(0,99)}\n")
+                else:
+                    lk.append(f"http://{th}/private/{rng.integers(0,99)}")
+            if rng.random() < 0.15:
+                lk = lk + lk  # per-page Set dedup exercise
+            cols["url"].append(f"http://{h}/doc/{i}")
+            cols["host"].append(h)
+            cols["links"].append(lk if rng.random() > 0.02 else None)
+            cols["depth"].append(int(rng.integers(0, 4)))
+            cols["seq"].append(i * 7)
+            cols["code"].append(200)
+            cols["content_type"].append("text/html; charset=utf-8" if rng.random() > 0.1 else "image/png")
+            cols["error"].append(None if rng.random() > 0.05 else "boom")
+            cols["base_href"].append(None if rng.random() > 0.1 else f"http://{h}/base/")
+        return pa.table(
+            {
+                "url": pa.array(cols["url"]),
+                "host": pa.array(cols["host"]),
+                "links": pa.array(cols["links"], pa.list_(pa.string())),
+                "depth": pa.array(cols["depth"], pa.int32()),
+                "seq": pa.array(cols["seq"], pa.int64()),
+                "code": pa.array(cols["code"], pa.int32()),
+                "content_type": pa.array(cols["content_type"]),
+                "error": pa.array(cols["error"], pa.string()),
+                "base_href": pa.array(cols["base_href"], pa.string()),
+            }
+        )
+
+    for aliases in ([], ["host-1.example", "host-2.example"]):
+        cfg = CrawlConfig(domain_aliases=aliases, depth_limit=2)
+        vec = make_link_extractor(cfg, None, 16, robots_bodies=robots)
+        rows = _make_link_extractor_rows(cfg, None, 16, robots_bodies=robots)
+        for _ in range(3):
+            b = mkbatch(400)
+            tv, tr = vec(b), rows(b)
+            assert tv.schema.equals(tr.schema)
+            assert tv.equals(tr)
