@@ -69,11 +69,13 @@ def bench_crawl(world_dir: str) -> dict:
     cfg = CrawlConfig(
         depth_limit=False,
         obey_robots_txt=True,
-        # GRAFT_WORKERS overrides the fetch-actor pool size; default
-        # leaves 2 cores for driver+raylet+shards once the box is
-        # saturated (>=16 cpus) — oversubscribing all cores with 0.9-CPU
-        # actors costs ~contention at hi concurrency (BASELINE.md r3)
-        workers=int(os.environ.get("GRAFT_WORKERS", NUM_CPUS if NUM_CPUS < 16 else NUM_CPUS - 2)),
+        # GRAFT_WORKERS overrides the fetch-actor pool size.  W must
+        # divide the world's bucket count (256) or the bucket->actor
+        # assignment quantizes (ceil vs floor buckets per actor): at
+        # 7.2M pages, W=30 measured 1.22 rows-skew / 44.2 s vs W=32's
+        # 1.13 / 36.1 s same-epoch — even division beats reserving
+        # cores for the driver (BASELINE.md r3)
+        workers=int(os.environ.get("GRAFT_WORKERS", NUM_CPUS)),
         fetch_batch_size=4096,
         num_seen_shards=8,
         checkpoint=False,
