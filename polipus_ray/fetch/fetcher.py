@@ -123,7 +123,10 @@ class Fetcher:
         self.web_dir = web_dir
         self.cfg = cfg
         self.num_buckets = num_buckets
-        self.robots = RobotsCache(robots_bodies, cfg.effective_user_agent())
+        # raw user_agent (possibly a list): robots matching resolves
+        # per-request UAs; crawl-delay stays pinned to index 0 (the
+        # politeness clock needs one delay per host — see RobotsCache)
+        self.robots = RobotsCache(robots_bodies, cfg.user_agent)
         self.pool = pool
         self.round_no = round_no
         self.now = now

@@ -71,13 +71,27 @@ def frontier_table(rows: list[dict], num_buckets: int, include_qs: bool = True) 
     return pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
 
 
-def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, follow, skip) -> np.ndarray:
+def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, follow, skip, uhash=None) -> np.ndarray:
     """should_be_visited? prefix (robots -> whitelist -> blacklist),
-    lib/polipus.rb:375-384.  Patterns match url.path."""
+    lib/polipus.rb:375-384.  Patterns match url.path.
+
+    ``uhash``: optional uint64 url-hash array; with a UA LIST
+    configured, each row's robots rules are matched against its
+    per-request UA ``ua[uhash % len]`` (the same index the fetcher
+    samples for the request's ``ua`` column — reference parity:
+    Robotex matches against the requesting client's UA)."""
     n = len(urls)
     keep = np.ones(n, dtype=bool)
     if robots is not None:
-        keep &= np.fromiter((robots.allowed(u, h) for u, h in zip(urls, hosts)), dtype=bool, count=n)
+        if robots.n_agents() > 1:
+            if uhash is None:
+                uhash = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
+            idx = (np.asarray(uhash, dtype=np.uint64) % np.uint64(robots.n_agents())).astype(np.int64)
+            keep &= np.fromiter(
+                (robots.allowed(u, h, ua_idx=int(i)) for u, h, i in zip(urls, hosts, idx)), dtype=bool, count=n
+            )
+        else:
+            keep &= np.fromiter((robots.allowed(u, h) for u, h in zip(urls, hosts)), dtype=bool, count=n)
     if follow or skip:
         paths = [urlsplit(u).path for u in urls]
         if follow:
@@ -88,7 +102,9 @@ def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, 
 
 
 def compile_policy(robots_bodies: dict, cfg: CrawlConfig):
-    robots = RobotsCache(robots_bodies, cfg.effective_user_agent()) if cfg.obey_robots_txt else None
+    # the raw user_agent (possibly a list) goes to the cache so robots
+    # matching can resolve per-request UAs (see _policy_mask)
+    robots = RobotsCache(robots_bodies, cfg.user_agent) if cfg.obey_robots_txt else None
     follow = [re.compile(p) for p in cfg.follow_links_like]
     skip = [re.compile(p) for p in cfg.skip_links_like]
     return robots, follow, skip
@@ -106,8 +122,8 @@ def make_prefetch_filter(robots_bodies: dict, cfg: CrawlConfig, pool, now: int):
             return batch
         urls = batch["url"].to_pylist()
         hosts = batch["host"].to_pylist()
-        keep = _policy_mask(urls, hosts, robots, follow, skip)
         uh = _u64col(batch["url_hash"])
+        keep = _policy_mask(urls, hosts, robots, follow, skip, uhash=uh if cfg.include_query_string_in_saved_page else None)
         hh = _u64col(batch["host_hash"])
         exists, ts = pool.stored_info(uh, hh)
         expired = np.zeros(n, dtype=bool) if ttl is None else (exists & (ts >= 0) & ((now - ttl) > ts))
@@ -275,7 +291,7 @@ def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: 
         )
         if policy is not None and t.num_rows:
             robots, follow, skip = policy
-            keep = _policy_mask(urls_l, host_f.to_pylist(), robots, follow, skip)
+            keep = _policy_mask(urls_l, host_f.to_pylist(), robots, follow, skip, uhash=urlh.view(np.uint64) if inc else None)
             t = t.filter(pa.array(keep))
         return t
 
@@ -372,7 +388,7 @@ def _make_link_extractor_rows(cfg: CrawlConfig, focus_crawl, num_buckets: int, r
         )
         if policy is not None and t.num_rows:
             robots, follow, skip = policy
-            keep = _policy_mask(urls, hosts, robots, follow, skip)
+            keep = _policy_mask(urls, hosts, robots, follow, skip, uhash=np.array(urlh, dtype=np.int64).view(np.uint64) if inc else None)
             t = t.filter(pa.array(keep))
         return t
 

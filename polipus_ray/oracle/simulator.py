@@ -61,7 +61,9 @@ def simulate_crawl(
     """web: canonical url -> row dict with keys
     (code, links, content_type, redirect_to, caption, doc_id)."""
     inc_qs = cfg.include_query_string_in_saved_page
-    robots = RobotsCache(robots_bodies, cfg.effective_user_agent()) if cfg.obey_robots_txt else None
+    # raw user_agent (possibly a list): robots matching resolves each
+    # request's UA as ua[url_hash(u64) % len] — mirrors the engine
+    robots = RobotsCache(robots_bodies, cfg.user_agent) if cfg.obey_robots_txt else None
     follow = [re.compile(p) for p in cfg.follow_links_like]
     skip = [re.compile(p) for p in cfg.skip_links_like]
     tracker: set[str] = set()
@@ -93,8 +95,10 @@ def simulate_crawl(
     def should_be_visited(url: str, with_tracker: bool = True) -> bool:
         # ordered case: robots -> whitelist -> blacklist -> expired(->True)
         # -> tracker(->False) -> True     (lib/polipus.rb:375-395)
-        if robots is not None and not robots.allowed(url):
-            return False
+        if robots is not None:
+            ua_idx = int(url_hash64(url, True) % robots.n_agents()) if robots.n_agents() > 1 else 0
+            if not robots.allowed(url, ua_idx=ua_idx):
+                return False
         p = path_part(url)
         if follow and not any(rx.search(p) for rx in follow):
             return False

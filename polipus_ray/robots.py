@@ -103,19 +103,34 @@ class ParsedRobots:
 class RobotsCache:
     """Per-host parsed-robots cache, fed from a ``{host: body}`` dict
     (the broadcast robots side-table).  Mirrors Robotex's ``@parsed``
-    memo (robotex.rb:111-121) without any network."""
+    memo (robotex.rb:111-121) without any network.
 
-    def __init__(self, robots_bodies: dict[str, str], user_agent: str = "polipus-ray"):
+    ``user_agent`` may be a LIST: the reference samples a UA once per
+    HTTP client construction (polipus.rb:133-137) and Robotex matches
+    rules against that client's UA; the deterministic analog here is
+    per-request ``ua_idx = url_hash(u64) % len`` (the same index the
+    fetcher uses for the ``ua`` request column, O6).  ``delay`` stays
+    pinned to index 0 — a per-request delay would make a host's
+    crawl-delay vary row to row, which has no reference counterpart
+    (the reference's delay is per worker client)."""
+
+    def __init__(self, robots_bodies: dict[str, str], user_agent="polipus-ray"):
         self._bodies = robots_bodies
         self._parsed: dict[str, ParsedRobots] = {}
-        # the crawl UA is fixed per cache, so agent-regex resolution
-        # can be hoisted: per host, a flat list of the disallow rules
-        # whose agent matches (empty => allow-all, no path parse), and
-        # the resolved crawl delay.  Same semantics as ParsedRobots
+        # per (host, ua_idx): a flat list of the disallow rules whose
+        # agent matches that UA (empty => allow-all, no path parse),
+        # and the resolved crawl delay.  Same semantics as ParsedRobots
         # (flat any() == the nested loop), ~10x cheaper per URL.
-        self._flat_rules: dict[str, list[re.Pattern]] = {}
-        self._host_delay: dict[str, int | None] = {}
-        self.user_agent = user_agent
+        self._flat_rules: dict[tuple[str, int], list[re.Pattern]] = {}
+        self._host_delay: dict[tuple[str, int], int | None] = {}
+        if isinstance(user_agent, (list, tuple)):
+            self._uas = [str(u) for u in user_agent] or ["polipus-ray"]
+        else:
+            self._uas = [str(user_agent)]
+        self.user_agent = self._uas[0]
+
+    def n_agents(self) -> int:
+        return len(self._uas)
 
     def _for_host(self, host: str) -> ParsedRobots:
         pr = self._parsed.get(host)
@@ -124,29 +139,30 @@ class RobotsCache:
             self._parsed[host] = pr
         return pr
 
-    def _rules_for(self, host: str) -> list[re.Pattern]:
-        got = self._flat_rules.get(host)
+    def _rules_for(self, host: str, ua_idx: int = 0) -> list[re.Pattern]:
+        got = self._flat_rules.get((host, ua_idx))
         if got is None:
             pr = self._for_host(host)
-            got = [r for agent_re, rules in pr.disallows if agent_re.search(self.user_agent) for r in rules]
-            self._flat_rules[host] = got
+            ua = self._uas[ua_idx]
+            got = [r for agent_re, rules in pr.disallows if agent_re.search(ua) for r in rules]
+            self._flat_rules[(host, ua_idx)] = got
         return got
 
-    def allowed(self, url: str, host: str | None = None) -> bool:
+    def allowed(self, url: str, host: str | None = None, ua_idx: int = 0) -> bool:
         if host is None:
             from .urltools import host_of
 
             host = host_of(url)
-        rules = self._rules_for(host)
+        rules = self._rules_for(host, ua_idx)
         if not rules:
             return True
         path = path_of(url)
         return not any(r.search(path) for r in rules)
 
-    def delay(self, host: str) -> int | None:
+    def delay(self, host: str, ua_idx: int = 0) -> int | None:
         try:
-            return self._host_delay[host]
+            return self._host_delay[(host, ua_idx)]
         except KeyError:
-            d = self._for_host(host).delay(self.user_agent)
-            self._host_delay[host] = d
+            d = self._for_host(host).delay(self._uas[ua_idx])
+            self._host_delay[(host, ua_idx)] = d
             return d

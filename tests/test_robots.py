@@ -55,3 +55,42 @@ def test_query_string_matched():
     pr = ParsedRobots.parse("User-agent: *\nDisallow: /p?x=*\n")
     assert not pr.allowed("http://h.test/p?x=1", "foo")
     assert pr.allowed("http://h.test/p", "foo")
+
+
+def test_per_request_ua_robots_matching():
+    """With a UA list, robots rules match each request's sampled UA
+    ``ua[url_hash(u64) % len]`` — reference parity with Robotex
+    matching against the requesting client's UA (polipus.rb:133-137):
+    a bot-specific Disallow only blocks the URLs whose sampled UA is
+    that bot."""
+    import numpy as np
+
+    from polipus_ray.config import CrawlConfig
+    from polipus_ray.frontier.stages import _policy_mask, compile_policy
+    from polipus_ray.urltools import url_hash64
+
+    body = "User-agent: evilbot\nDisallow: /\nUser-agent: *\nDisallow: /private\n"
+    uas = ["goodbot", "evilbot"]
+    cfg = CrawlConfig(user_agent=uas, obey_robots_txt=True)
+    robots, follow, skip = compile_policy({"h.example": body}, cfg)
+    assert robots.n_agents() == 2
+    urls = [f"http://h.example/doc/{i}" for i in range(50)] + ["http://h.example/private/x"]
+    hosts = ["h.example"] * len(urls)
+    uh = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
+    keep = _policy_mask(urls, hosts, robots, follow, skip, uhash=uh)
+    # NB: uint64 % python-int promotes to float64 and loses precision
+    # near 2^64 — keep the modulo in exact uint64 (as the engine does)
+    idx = (uh % np.uint64(2)).astype(np.int64)
+    expect = np.array(
+        [uas[int(i)] != "evilbot" for i in idx[:-1]] + [False],  # /private blocked for both
+        dtype=bool,
+    )
+    assert (keep == expect).all()
+    assert keep[:-1].any() and not keep[:-1].all()  # both agents exercised
+    # uhash omitted -> computed internally, same answer
+    assert (_policy_mask(urls, hosts, robots, follow, skip) == expect).all()
+    # single-UA config: unchanged legacy behavior (rules of that UA only)
+    cfg1 = CrawlConfig(user_agent="goodbot", obey_robots_txt=True)
+    r1, f1, s1 = compile_policy({"h.example": body}, cfg1)
+    k1 = _policy_mask(urls, hosts, r1, f1, s1)
+    assert k1[:-1].all() and not k1[-1]
