@@ -119,6 +119,7 @@ class Fetcher:
         mark_stored: bool = False,
         before_save_hooks: list | None = None,
         focus_crawl=None,
+        plasma_spill: bool = False,
     ):
         self.web_dir = web_dir
         self.cfg = cfg
@@ -163,6 +164,9 @@ class Fetcher:
         self._pending_cand: pa.Table | None = None
         self._pending_spill_path: str | None = None
         self._bucket_lut: np.ndarray | None = None
+        # plasma mode (engine sets this when checkpointing is off):
+        # emit spill parts as Ray objects instead of lz4 parquet files
+        self._plasma_spill = bool(plasma_spill)
 
     def set_bucket_lut(self, lut: np.ndarray) -> None:
         """bucket -> actor assignment, shipped once at pool creation so
@@ -555,21 +559,31 @@ class Fetcher:
         narrow candidate table (policy-prefiltered).  Reuses the exact
         same stage callables as the Dataset path.
 
-        ``select_mine``: ``batch`` is the round's WHOLE frontier table
-        (one shared plasma object); filter to the rows whose bucket the
-        LUT assigns to this actor.  The filter preserves original row
-        order — identical rows/order to the old driver-side
-        stable-sort + take scatter (parity suite)."""
+        ``select_mine``: ``batch`` is the round's WHOLE frontier — a
+        shared plasma table or a LIST of plasma part refs (plasma
+        frontier mode); filter to the rows whose bucket the LUT
+        assigns to this actor.  Parts arrive oldest-first and the
+        filter preserves row order — identical rows/order to the old
+        driver-side stable-sort + take scatter (parity suite)."""
         from ..frontier.stages import PAGE_NARROW, filter_storable, make_link_extractor, make_mark_stored
 
         self.round_no = round_no
         self.now = now
         tm: dict[str, float] = {}
+        nrows = None
         if select_mine:
             if self._bucket_lut is None:
                 raise RuntimeError("select_mine requires set_bucket_lut() first")
+            if isinstance(batch, list):
+                import ray
+
+                tables = ray.get(batch)  # zero-copy plasma reads
+                batch = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
             mine = self._bucket_lut[batch["host_bucket"].to_numpy().astype(np.int64)] == actor_id
             batch = batch.filter(pa.array(mine))
+            nrows = batch.num_rows
+            if batch.num_rows == 0:
+                return {"stored": 0, "errors": 0, "cand": None, "cand_keys": None, "spill": None, "keys": None, "deferred": None, "unstorable": None, "path": None, "timings": tm, "deduped": True, "nrows": 0}
         deferred = None
         cap = int(self.cfg.max_urls_per_host_per_round or 0)
         if cap > 0 and batch.num_rows:
@@ -743,9 +757,14 @@ class Fetcher:
                 spill = []
                 for off in range(0, n, 16384):
                     chunk = ft.slice(off, 16384)
-                    cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
-                    pq.write_table(chunk, cp, compression="lz4")
-                    spill.append({"path": cp, "rows": chunk.num_rows})
+                    if self._plasma_spill:
+                        import ray
+
+                        spill.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows})
+                    else:
+                        cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
+                        pq.write_table(chunk, cp, compression="lz4")
+                        spill.append({"path": cp, "rows": chunk.num_rows})
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
         return {
@@ -760,6 +779,7 @@ class Fetcher:
             "path": out_path if stored else None,
             "timings": tm,
             "deduped": True,  # within-round uuid dedup already applied
+            "nrows": nrows,  # this actor's selected frontier rows (select_mine)
         }
 
     def emit_frontier(self, admitted_idx: np.ndarray, seqs: np.ndarray) -> list[dict] | None:
@@ -797,9 +817,14 @@ class Fetcher:
         out = []
         for off in range(0, n, 16384):
             chunk = ft.slice(off, 16384)
-            cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
-            pq.write_table(chunk, cp, compression="lz4")
-            out.append({"path": cp, "rows": chunk.num_rows})
+            if self._plasma_spill:
+                import ray
+
+                out.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows})
+            else:
+                cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
+                pq.write_table(chunk, cp, compression="lz4")
+                out.append({"path": cp, "rows": chunk.num_rows})
         return out
 
     def _verify_payloads(self, pages: pa.Table) -> pa.Table:

@@ -193,6 +193,13 @@ class CrawlEngine:
             queue_items_limit=cfg.queue_items_limit,
             capped_max=cfg.overflow_capped_max,
         )
+        # plasma frontier: with checkpointing OFF (nothing re-reads
+        # parts after a crash) and the pool scheduler, spill parts are
+        # Ray objects instead of parquet files — no lz4 encode/decode,
+        # no file IO, zero-copy actor reads.  Checkpointable runs and
+        # the dataset scheduler (ray.data.read_parquet input) keep
+        # parquet parts.
+        self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool")
         self.pool = pool or SeenShardPool(
             num_shards=cfg.num_seen_shards,
             kind=cfg.seen_kind,
@@ -551,6 +558,7 @@ class CrawlEngine:
             web_refs=web_refs,
             prefetch_check=True,
             mark_stored=(self.cfg.storage != "devnull" and not self._on_before_save),
+            plasma_spill=self.spill.plasma,
         )
 
     def _ensure_fetch_pool(self) -> list:
@@ -605,35 +613,43 @@ class CrawlEngine:
 
         ph: dict[str, float] = {}
         s = _time.perf_counter()
-        t = pa.concat_tables([pq.read_table(p) for p in active_paths])
+        # active items: plasma refs (plasma mode) and/or parquet paths
+        # (seed round, checkpointable runs).  Paths are read once on
+        # the driver and put as one more plasma part; ref parts go to
+        # the actors untouched — the frontier is never materialized on
+        # the driver in steady state.
+        part_refs = [x for x in active_paths if not isinstance(x, str)]
+        disk = [x for x in active_paths if isinstance(x, str)]
+        if disk:
+            t = pa.concat_tables([pq.read_table(p) for p in disk])
+            if t.num_rows:
+                part_refs.append(ray.put(t))
         ph["read_frontier"] = _time.perf_counter() - s
         s = _time.perf_counter()
         actors = self._ensure_fetch_pool()
         W = len(actors)
-        aid = self._bucket_lut[t["host_bucket"].to_numpy().astype(np.int64)]
-        counts = np.bincount(aid, minlength=W)
         relaxed = not self.cfg.deterministic_order
-        # ONE plasma write of the round's frontier; every actor reads it
-        # zero-copy and filters to its own buckets (select_mine) — the
-        # driver no longer take()s + serializes W sub-tables serially
-        tref = ray.put(t)
+        # every actor reads the shared plasma parts zero-copy and
+        # filters to its own buckets (select_mine) — the driver never
+        # take()s + serializes per-actor sub-tables
         refs = []
         ref_actors = []
-        sizes = []
         for a in range(W):
-            if counts[a] == 0:
-                continue
             spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet")
-            refs.append(actors[a].run_round_batch.remote(tref, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a, True))
+            refs.append(actors[a].run_round_batch.remote(part_refs, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a, True))
             ref_actors.append(a)
-            sizes.append(int(counts[a]))
-        if sizes:
-            ph["rows_max"] = float(max(sizes))
-            ph["rows_mean"] = float(sum(sizes) / len(sizes))
         ph["scatter"] = _time.perf_counter() - s
         s = _time.perf_counter()
         results = ray.get(refs)
         ph["fetch_barrier"] = _time.perf_counter() - s
+        # drop empty shares (actors whose buckets had no rows this round)
+        keep = [i for i, res in enumerate(results) if res.get("nrows") != 0]
+        results = [results[i] for i in keep]
+        ref_actors = [ref_actors[i] for i in keep]
+        sizes = [res["nrows"] for res in results if res.get("nrows") is not None]
+        if sizes:
+            ph["rows_max"] = float(max(sizes))
+            ph["rows_mean"] = float(sum(sizes) / len(sizes))
         # max actor-side phase times (the barrier's critical path)
         for res in results:
             for k, v in (res.get("timings") or {}).items():
@@ -660,7 +676,10 @@ class CrawlEngine:
                 nxt = []
                 for parts in per_actor:
                     p = parts.pop(0)
-                    self.spill.register_part(p["path"], p["rows"])
+                    if "ref" in p:
+                        self.spill.register_ref(p["ref"], p["rows"])
+                    else:
+                        self.spill.register_part(p["path"], p["rows"])
                     enq += p["rows"]
                     if parts:
                         nxt.append(parts)
@@ -772,7 +791,10 @@ class CrawlEngine:
             nxt = []
             for parts in per_actor:
                 p = parts.pop(0)
-                self.spill.register_part(p["path"], p["rows"])
+                if "ref" in p:
+                    self.spill.register_ref(p["ref"], p["rows"])
+                else:
+                    self.spill.register_part(p["path"], p["rows"])
                 if parts:
                     nxt.append(parts)
             per_actor = nxt

@@ -69,6 +69,12 @@ class FrontierSpill:
         # frontier uses the sharded cuckoo seen-set (seen/shards.py)
         # for dedup; do NOT enable adapter='uniq' at crawl scale.
         self._pushed: set[int] = set()
+        # plasma mode (engine sets this when checkpointing is OFF and
+        # the pool scheduler runs): parts are Ray object refs instead
+        # of parquet files — no lz4/zstd encode, no file IO, zero-copy
+        # reads in the actors.  Checkpointable runs keep parquet parts
+        # (refs don't survive the driver, so state() refuses them).
+        self.plasma = False
         os.makedirs(root, exist_ok=True)
 
     # -- append (enqueue side) -------------------------------------------
@@ -95,9 +101,14 @@ class FrontierSpill:
                 return
         for off in range(0, table.num_rows, self.part_rows):
             chunk = table.slice(off, self.part_rows)
-            path = os.path.join(self.root, f"part-{self._next_part:06d}.parquet")
-            pq.write_table(chunk, path, compression="zstd")
-            self.parts.append({"path": path, "rows": chunk.num_rows, "part_id": self._next_part})
+            if self.plasma:
+                import ray
+
+                self.parts.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows, "part_id": self._next_part})
+            else:
+                path = os.path.join(self.root, f"part-{self._next_part:06d}.parquet")
+                pq.write_table(chunk, path, compression="zstd")
+                self.parts.append({"path": path, "rows": chunk.num_rows, "part_id": self._next_part})
             self._next_part += 1
         self._enforce()
 
@@ -111,10 +122,11 @@ class FrontierSpill:
         # drop OLDEST parts while the NEWEST `cap` rows fit without them
         while self.parts and (self.total_rows() - self.parts[0]["rows"]) >= cap:
             dead = self.parts.pop(0)
-            try:
-                os.remove(dead["path"])
-            except OSError:
-                pass
+            if "path" in dead:
+                try:
+                    os.remove(dead["path"])
+                except OSError:
+                    pass
 
     def register_part(self, path: str, rows: int) -> None:
         """Adopt a part file written elsewhere (e.g. by a fetch actor
@@ -125,18 +137,28 @@ class FrontierSpill:
         self._next_part += 1
         self._enforce()
 
+    def register_ref(self, ref, rows: int) -> None:
+        """Adopt a plasma part (Ray ObjectRef of a frontier-schema
+        Arrow table) written by a fetch actor in plasma mode."""
+        if rows <= 0:
+            return
+        self.parts.append({"ref": ref, "rows": rows, "part_id": self._next_part})
+        self._next_part += 1
+        self._enforce()
+
     # -- activate (dequeue side) -----------------------------------------
-    def take_active(self, limit_rows: int | None = None) -> tuple[list[str], int]:
+    def take_active(self, limit_rows: int | None = None) -> tuple[list, int]:
         """Pop the oldest parts covering up to limit_rows (at least one
-        part).  Returns (paths, rows)."""
+        part).  Returns (items, rows) — each item is a parquet path or
+        a plasma ObjectRef (plasma mode)."""
         limit_rows = limit_rows or self.limit
-        paths, rows = [], 0
-        while self.parts and (not paths or rows + self.parts[0]["rows"] <= limit_rows):
+        items, rows = [], 0
+        while self.parts and (not items or rows + self.parts[0]["rows"] <= limit_rows):
             p = self.parts.pop(0)
-            paths.append(p["path"])
+            items.append(p["path"] if "path" in p else p["ref"])
             rows += p["rows"]
-        self.consumed.extend(paths)
-        return paths, rows
+        self.consumed.extend(i for i in items if isinstance(i, str))
+        return items, rows
 
     def gc_consumed(self, referenced: set[str] | None = None) -> int:
         """Delete consumed part files no longer referenced by any
@@ -145,7 +167,7 @@ class FrontierSpill:
         for crash-resume).  Without this every part ever written
         lives for the whole run — unbounded disk on long crawls."""
         referenced = referenced or set()
-        live = {p["path"] for p in self.parts} | referenced
+        live = {p["path"] for p in self.parts if "path" in p} | referenced
         keep, removed = [], 0
         for path in self.consumed:
             if path in live:
@@ -167,6 +189,8 @@ class FrontierSpill:
 
     # -- checkpoint -------------------------------------------------------
     def state(self) -> dict:
+        if any("ref" in p for p in self.parts):
+            raise ValueError("plasma spill parts are not checkpointable; run with cfg.checkpoint=True to keep parquet parts")
         st = {"parts": self.parts, "next_part": self._next_part}
         if self.adapter == "uniq":
             st["pushed"] = sorted(self._pushed)
