@@ -77,7 +77,9 @@ def bench_crawl(world_dir: str) -> dict:
         # cores for the driver (BASELINE.md r3)
         workers=int(os.environ.get("GRAFT_WORKERS", NUM_CPUS)),
         fetch_batch_size=4096,
-        num_seen_shards=8,
+        # seen shards default to max(8, workers): 32 fetch actors'
+        # fused mark-stored RPCs over 8 shards serialize the barrier
+        num_seen_shards=None,
         checkpoint=False,
         verify_payload=True,  # decode + phash-verify every payload (M15)
         phash_scales=3,  # multi-scale fingerprint pyramid per payload

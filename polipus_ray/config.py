@@ -67,7 +67,12 @@ class CrawlConfig:
     # --- Ray-engine knobs (new; scale surface) ---------------------------
     fetch_concurrency: Any = None  # actor pool size; default = workers
     fetch_batch_size: int = 1024
-    num_seen_shards: int = 8
+    # seen/stored shard-actor count; None = max(8, workers).  Shards
+    # serve batched probes from EVERY fetch actor (fused mark-stored +
+    # admission check_and_add); undersizing them serializes the fetch
+    # barrier behind shard RPC queues (measured: 8 shards under a
+    # 32-actor pool cost ~30% of the round).
+    num_seen_shards: Any = None
     seen_kind: str = "cuckoo"  # 'cuckoo' | 'exact'
     seen_capacity_per_shard: int = 1_000_000
     # NOTE: the frontier/web partitioning key space (host buckets) is a
@@ -121,6 +126,11 @@ class CrawlConfig:
 
     def resolved_fetch_concurrency(self) -> int:
         return int(self.fetch_concurrency or self.workers)
+
+    def resolved_num_seen_shards(self) -> int:
+        if self.num_seen_shards is not None:
+            return int(self.num_seen_shards)
+        return max(8, self.resolved_fetch_concurrency())
 
     def effective_user_agent(self) -> str:
         """The robots-matching UA: reference samples once at client

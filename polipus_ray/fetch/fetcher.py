@@ -703,9 +703,37 @@ class Fetcher:
             s = time.perf_counter()
             order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
             cand = cand.take(pa.array(order))
+            ps = cand["parent_seq"].to_numpy()
+            li = cand["link_idx"].to_numpy()
+            # precompute the driver's composite FIFO key (parent_seq <<
+            # 16 | link_idx) actor-side — the driver then merges W
+            # presorted spans instead of rebuilding + sorting the key
+            comp = None
+            if len(ps) and int(ps.max()) < (1 << 47) and int(li.max()) < (1 << 16) and int(ps.min()) >= 0:
+                comp = (ps.astype(np.int64) << 16) | li.astype(np.int64)
+            if self.cfg.ttl_page is None and cand.num_rows:
+                # intra-actor first-occurrence dedup: with TTL off the
+                # admission rule is admit = ~seen(sequential), so only
+                # a url_hash's FIRST occurrence (min composite — cand
+                # is comp-sorted) can ever admit; later same-actor
+                # occurrences are provably rejected.  Dropping them
+                # here cuts the driver's key volume ~3x.  (With TTL on,
+                # an expired page re-admits EVERY occurrence — keep
+                # all rows then.)  check_and_add filter state is
+                # unchanged: the kept first occurrence inserts the
+                # hash either way.
+                uh_a = cand["url_hash"].to_numpy()
+                uniq_h, first_idx = np.unique(uh_a, return_index=True)
+                if len(uniq_h) < len(uh_a):
+                    keep_idx = np.sort(first_idx)
+                    cand = cand.take(pa.array(keep_idx))
+                    if comp is not None:
+                        comp = comp[keep_idx]
             self._pending_cand = cand
             self._pending_spill_path = spill_path
             cand_keys = cand.select(["url_hash", "host_hash", "parent_seq", "link_idx"])
+            if comp is not None:
+                cand_keys = cand_keys.append_column("comp", pa.array(comp, pa.int64()))
             cand = None
             tm["keys"] = time.perf_counter() - s
         elif spill_path is not None and not self.cfg.deterministic_order and self.pool is not None and cand is not None and cand.num_rows:

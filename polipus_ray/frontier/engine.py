@@ -201,7 +201,7 @@ class CrawlEngine:
         # parquet parts.
         self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool")
         self.pool = pool or SeenShardPool(
-            num_shards=cfg.num_seen_shards,
+            num_shards=cfg.resolved_num_seen_shards(),
             kind=cfg.seen_kind,
             capacity_per_shard=cfg.seen_capacity_per_shard,
             use_ray=use_ray,
@@ -729,38 +729,46 @@ class CrawlEngine:
         must return a ray ref resolving to the unit's written spill
         parts ([{path, rows}])."""
         import ray
-
-        uh_l, hh_l, ps_l, li_l, act_l, loc_l = [], [], [], [], [], []
-        for ck, tag in zip(cks, tags):
-            n = ck.num_rows
-            uh_l.append(ck["url_hash"].to_numpy())
-            hh_l.append(ck["host_hash"].to_numpy())
-            ps_l.append(ck["parent_seq"].to_numpy())
-            li_l.append(ck["link_idx"].to_numpy())
-            act_l.append(np.full(n, tag, dtype=np.int32))
-            loc_l.append(np.arange(n, dtype=np.int64))
-        if not uh_l:
-            return 0
         import time as _time
 
         aph: dict[str, float] = {}
         self._admit_phases = aph
         s = _time.perf_counter()
-        uh = np.concatenate(uh_l).astype(np.int64).view(np.uint64)
-        hh = np.concatenate(hh_l).astype(np.int64).view(np.uint64)
-        ps = np.concatenate(ps_l)
-        li = np.concatenate(li_l)
-        act = np.concatenate(act_l)
-        loc = np.concatenate(loc_l)
-        # single-key sort on a (parent_seq << 16 | link_idx) composite
-        # is ~2x a two-key lexsort; fall back when either overflows
-        li64 = li.astype(np.int64)
-        ps64 = ps.astype(np.int64)
-        if len(ps64) and ps64.max() < (1 << 47) and li64.max() < (1 << 16) and ps64.min() >= 0:
-            order = np.argsort((ps64 << 16) | li64, kind="stable")
+        uh_l = [ck["url_hash"].to_numpy() for ck in cks]
+        if not uh_l or not sum(len(a) for a in uh_l):
+            return 0
+        ns = [len(a) for a in uh_l]
+        offs = np.cumsum([0] + ns)
+        aph["n_cand"] = float(offs[-1])
+        # each span is presorted by the composite FIFO key (parent_seq
+        # << 16 | link_idx) actor-side; a stable argsort over the
+        # concatenated precomputed key is then a pure W-way run merge
+        # (timsort gallops through presorted runs).  Fall back to
+        # rebuilding the key (and lexsort on overflow) when a unit
+        # didn't ship `comp` (dataset-mode candidate files).
+        if all("comp" in ck.column_names for ck in cks):
+            comp = np.concatenate([ck["comp"].to_numpy() for ck in cks])
+            order = np.argsort(comp, kind="stable")
         else:
-            order = np.lexsort((li, ps))
-        uh, hh, act, loc = uh[order], hh[order], act[order], loc[order]
+            ps = np.concatenate([ck["parent_seq"].to_numpy() for ck in cks])
+            li = np.concatenate([ck["link_idx"].to_numpy() for ck in cks])
+            li64 = li.astype(np.int64)
+            ps64 = ps.astype(np.int64)
+            if len(ps64) and ps64.max() < (1 << 47) and li64.max() < (1 << 16) and ps64.min() >= 0:
+                order = np.argsort((ps64 << 16) | li64, kind="stable")
+            else:
+                order = np.lexsort((li, ps))
+        aph["argsort"] = _time.perf_counter() - s
+        s = _time.perf_counter()
+        # unit id + unit-local row index recovered from the merged
+        # global order — no act/loc materialization + gather
+        span = np.searchsorted(offs, order, side="right") - 1
+        loc = order - offs[span]
+        act = np.asarray(tags, dtype=np.int64)[span]
+        uh = np.concatenate(uh_l)[order]
+        uh = uh.view(np.uint64) if uh.dtype == np.int64 else uh.astype(np.uint64)
+        hh = np.concatenate([ck["host_hash"].to_numpy() for ck in cks])[order]
+        hh = hh.view(np.uint64) if hh.dtype == np.int64 else hh.astype(np.uint64)
         aph["sort"] = _time.perf_counter() - s
         s = _time.perf_counter()
         # tracker/TTL tail of should_be_visited? (same semantics as
