@@ -214,31 +214,49 @@ class Fetcher:
     def _lookup(self, url: str, bucket: int | None = None) -> int:
         return self._lookup_in(self._load_bucket(self._bucket_of(url) if bucket is None else bucket), url)
 
-    def _follow_redirects(self, url: str, bucket: int):
-        """Slow path (3xx hop-0 rows only): follow the redirect chain
-        (same-host, <= redirect_limit hops, relative Location resolved
-        per hop — http.rb:161-182).  Returns (hops, final_bucket_record,
-        final_row); final_row = -1 when any hop resolves nowhere (error
-        page with the ORIGINAL url, http.rb:63-71)."""
-        hops: list[str] = []
-        cur = url
-        b: int | None = bucket
-        rlimit = self.cfg.redirect_limit
-        while True:
-            bk = self._load_bucket(self._bucket_of(cur) if b is None else b)
-            b = None  # later (redirect) hops recompute bucket from the URL
-            ri = self._lookup_in(bk, cur)
-            if ri < 0:
-                return hops, None, -1
-            hops.append(cur)
-            code = int(bk.codes[ri])
-            rt = bk.redirects[ri]
-            if rt:
-                rt = canonicalize(rt, cur)
-            if 300 <= code < 400 and rt and host_of(rt) == host_of(cur) and len(hops) <= rlimit:
-                cur = rt
+    def _lookup_batch(self, urls: list, bks: np.ndarray) -> np.ndarray:
+        """Batched point lookup: one md5 stream + one binary-search
+        batch per touched bucket, Arrow-vectorized string verify (the
+        hop-0 fast-path machinery, reusable for redirect-hop waves).
+        Returns each url's row within its bucket table, -1 on miss."""
+        import hashlib as _hl
+
+        import pyarrow.compute as pc
+
+        n = len(urls)
+        row = np.full(n, -1, np.int64)
+        if not n:
+            return row
+        uh = np.frombuffer(
+            b"".join(_hl.md5(u.encode("utf-8", "surrogatepass")).digest()[:8] for u in urls), dtype=">u8"
+        ).astype(np.uint64)
+        for b in np.unique(bks):
+            bk = self._load_bucket(int(b))
+            if not len(bk.uh_sorted):
                 continue
-            return hops, bk, ri
+            sel = np.flatnonzero(bks == b)
+            want = uh[sel]
+            lo = np.searchsorted(bk.uh_sorted, want, side="left")
+            hi = np.searchsorted(bk.uh_sorted, want, side="right")
+            width = hi - lo
+            m1 = np.flatnonzero(width == 1)
+            if len(m1):
+                rows1 = bk.perm[lo[m1]]
+                eq = np.asarray(
+                    pc.equal(bk.t["url"].take(pa.array(rows1)), pa.array([urls[int(i)] for i in sel[m1]])).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    bool,
+                )
+                row[sel[m1[eq]]] = rows1[eq]
+            for k in np.flatnonzero(width > 1):  # rare: shared 64-bit hash prefix
+                u = urls[int(sel[k])]
+                for p in range(int(lo[k]), int(hi[k])):
+                    ri = int(bk.perm[p])
+                    if bk.urls[ri].as_py() == u:
+                        row[sel[k]] = ri
+                        break
+        return row
 
     def _delay(self, host: str) -> float:
         if self.cfg.obey_robots_txt:
@@ -371,36 +389,74 @@ class Fetcher:
 
         hit = (row_idx >= 0) & ~redir_flag
 
-        # --- slow path: redirect chains ------------------------------------
+        # --- slow path: redirect chains, wave-batched -----------------------
+        # same-host, <= redirect_limit hops, relative Location resolved
+        # per hop (http.rb:161-182); a hop resolving nowhere makes the
+        # chain an error page with the ORIGINAL url (http.rb:63-71).
+        # Hop-0 rows are already resolved by the vectorized lookup
+        # above; each further hop level is ONE _lookup_batch call over
+        # every still-active chain (per-row Python only for the
+        # Location canonicalize/same-host string checks).
         slow_hops: dict[int, list] = {}
         slow_final: dict[int, tuple] = {}
         url_vals: list | None = None
         host_vals: list | None = None
-        for j in np.flatnonzero(redir_flag):
-            j = int(j)
-            hops, bk_f, ri = self._follow_redirects(urls[j], int(bks[j]))
-            if ri < 0:
-                continue  # error page with the original url
-            hit[j] = True
-            slow_hops[j] = hops
-            slow_final[j] = (bk_f, ri)
-            code_np[j] = bk_f.codes[ri]
-            fu = hops[-1]
-            if fu != urls[j]:
-                if url_vals is None:
-                    url_vals = list(urls)
-                url_vals[j] = fu
-                fh = host_of(fu)
-                if fh != hosts[j]:
-                    if host_vals is None:
-                        host_vals = list(hosts)
-                    host_vals[j] = fh
-                    got = hcache.get(fh)
-                    if got is None:
-                        v = host_hash64(fh)
-                        got = (v - (1 << 64) if v >= (1 << 63) else v, v % self.num_buckets)
-                        hcache[fh] = got
-                    hh_col[j], hb_col[j] = got
+        red0 = np.flatnonzero(redir_flag)
+        if len(red0):
+            rlimit = cfg.redirect_limit
+            jj = [int(j) for j in red0]
+            cur_u = [urls[j] for j in jj]
+            cur_b = bks[red0].astype(np.int64)
+            cur_ri = row_idx[red0].astype(np.int64)
+            hops_map: dict[int, list] = {}
+            while jj:
+                nxt_j: list[int] = []
+                nxt_u: list[str] = []
+                for k, j in enumerate(jj):
+                    bk = self._load_bucket(int(cur_b[k]))
+                    ri = int(cur_ri[k])
+                    cu = cur_u[k]
+                    hops = hops_map.setdefault(j, [])
+                    hops.append(cu)
+                    code = int(bk.codes[ri])
+                    rt = bk.redirects[ri]
+                    if rt:
+                        rt = canonicalize(rt, cu)
+                    if 300 <= code < 400 and rt and host_of(rt) == host_of(cu) and len(hops) <= rlimit:
+                        nxt_j.append(j)
+                        nxt_u.append(rt)
+                    else:
+                        slow_final[j] = (bk, ri)
+                if not nxt_j:
+                    break
+                nb = np.fromiter((self._bucket_of(u) for u in nxt_u), np.int64, count=len(nxt_u))
+                nri = self._lookup_batch(nxt_u, nb)
+                ok_w = nri >= 0  # misses drop out: error page, original url
+                keep_w = np.flatnonzero(ok_w)
+                jj = [nxt_j[int(k)] for k in keep_w]
+                cur_u = [nxt_u[int(k)] for k in keep_w]
+                cur_b = nb[keep_w]
+                cur_ri = nri[keep_w]
+            for j, (bk_f, ri) in slow_final.items():
+                hit[j] = True
+                slow_hops[j] = hops_map[j]
+                code_np[j] = bk_f.codes[ri]
+                fu = hops_map[j][-1]
+                if fu != urls[j]:
+                    if url_vals is None:
+                        url_vals = list(urls)
+                    url_vals[j] = fu
+                    fh = host_of(fu)
+                    if fh != hosts[j]:
+                        if host_vals is None:
+                            host_vals = list(hosts)
+                        host_vals[j] = fh
+                        got = hcache.get(fh)
+                        if got is None:
+                            v = host_hash64(fh)
+                            got = (v - (1 << 64) if v >= (1 << 63) else v, v % self.num_buckets)
+                            hcache[fh] = got
+                        hh_col[j], hb_col[j] = got
 
         # --- uuid / url_hash (md5 reuse when final == requested) -----------
         inc = cfg.include_query_string_in_saved_page
