@@ -89,16 +89,28 @@ class _ExactFilter:
         return obj
 
 
+_DELETED = np.int64(-2)  # unmark tombstone in the pending journal
+
+
 class UrlSeenShard:
     """One shard: seen-filter + stored-page manifest.  Runs either as
-    a plain object (tests) or as a Ray actor (the pool wraps it)."""
+    a plain object (tests) or as a Ray actor (the pool wraps it).
+
+    The stored manifest (url_hash64 -> fetched_at) is a sorted uint64
+    array + int64 timestamps with an append-only pending journal:
+    mark/unmark batches append O(1); any probe first folds the journal
+    in (one stable argsort, last-write-wins, tombstones dropped) then
+    answers with a vectorized searchsorted — no per-row dict loops in
+    the admission critical path."""
 
     def __init__(self, kind: str = "cuckoo", capacity: int = 1_000_000):
         self.kind = kind
         self._mk = CuckooFilter if kind == "cuckoo" else _ExactFilter
         self.filter = self._mk(capacity)
         self.capacity = capacity
-        self.stored: dict[int, int] = {}  # url_hash64 -> fetched_at (unix s)
+        self._st_h = np.empty(0, np.uint64)  # compacted, sorted
+        self._st_t = np.empty(0, np.int64)
+        self._pend: list[tuple[np.ndarray, np.ndarray]] = []
 
     # --- tracker API (url_tracker parity: visited?/visit/remove/clear) ---
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
@@ -118,36 +130,68 @@ class UrlSeenShard:
 
     def clear(self) -> None:
         self.filter.clear()
-        self.stored.clear()
+        self._st_h = np.empty(0, np.uint64)
+        self._st_t = np.empty(0, np.int64)
+        self._pend.clear()
 
     # --- storage manifest API (page_exists? / ttl) -----------------------
     def mark_stored(self, hashes: np.ndarray, fetched_at: np.ndarray) -> None:
-        for h, t in zip(np.asarray(hashes, dtype=np.uint64), np.asarray(fetched_at, dtype=np.int64)):
-            self.stored[int(h)] = int(t)
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h):
+            self._pend.append((h.copy(), np.asarray(fetched_at, dtype=np.int64).copy()))
 
     def unmark_stored(self, hashes: np.ndarray) -> None:
-        for h in np.asarray(hashes, dtype=np.uint64):
-            self.stored.pop(int(h), None)
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h):
+            self._pend.append((h.copy(), np.full(len(h), _DELETED, dtype=np.int64)))
+
+    def _compact(self) -> None:
+        """Fold the pending journal into the sorted base: stable sort
+        by hash keeps arrival order within equal runs, the run's LAST
+        entry wins (dict-upsert semantics), tombstones drop out."""
+        if not self._pend:
+            return
+        hs = np.concatenate([self._st_h] + [p[0] for p in self._pend])
+        ts = np.concatenate([self._st_t] + [p[1] for p in self._pend])
+        self._pend.clear()
+        order = np.argsort(hs, kind="stable")
+        hs = hs[order]
+        ts = ts[order]
+        last = np.empty(len(hs), dtype=bool)
+        last[-1:] = True
+        last[:-1] = hs[1:] != hs[:-1]
+        keep = last & (ts != _DELETED)
+        self._st_h = np.ascontiguousarray(hs[keep])
+        self._st_t = np.ascontiguousarray(ts[keep])
 
     def stored_info(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(exists mask, fetched_at; -1 where absent)."""
-        n = len(hashes)
-        exists = np.zeros(n, dtype=bool)
-        ts = np.full(n, -1, dtype=np.int64)
-        for j, h in enumerate(np.asarray(hashes, dtype=np.uint64)):
-            t = self.stored.get(int(h))
-            if t is not None:
-                exists[j] = True
-                ts[j] = t
+        self._compact()
+        q = np.asarray(hashes, dtype=np.uint64)
+        n = len(q)
+        if not len(self._st_h) or not n:
+            return np.zeros(n, dtype=bool), np.full(n, -1, dtype=np.int64)
+        pos = np.searchsorted(self._st_h, q)
+        pos_c = np.minimum(pos, len(self._st_h) - 1)
+        exists = self._st_h[pos_c] == q
+        ts = np.where(exists, self._st_t[pos_c], np.int64(-1))
         return exists, ts
 
     def counts(self) -> dict:
-        return {"seen": self.filter.count, "stored": len(self.stored)}
+        self._compact()
+        return {"seen": self.filter.count, "stored": int(len(self._st_h))}
 
     # --- checkpoint ------------------------------------------------------
     def snapshot(self) -> bytes:
+        self._compact()
         return pickle.dumps(
-            {"kind": self.kind, "capacity": self.capacity, "filter": self.filter.to_bytes(), "stored": self.stored},
+            {
+                "kind": self.kind,
+                "capacity": self.capacity,
+                "filter": self.filter.to_bytes(),
+                "stored_h": self._st_h,
+                "stored_t": self._st_t,
+            },
             protocol=5,
         )
 
@@ -157,7 +201,17 @@ class UrlSeenShard:
         self.capacity = st["capacity"]
         self._mk = CuckooFilter if self.kind == "cuckoo" else _ExactFilter
         self.filter = self._mk.from_bytes(st["filter"])
-        self.stored = st["stored"]
+        self._pend = []
+        if "stored_h" in st:
+            self._st_h = np.asarray(st["stored_h"], dtype=np.uint64)
+            self._st_t = np.asarray(st["stored_t"], dtype=np.int64)
+        else:  # pre-r4 snapshot: dict manifest
+            d = st["stored"]
+            h = np.fromiter(d.keys(), dtype=np.uint64, count=len(d))
+            t = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+            o = np.argsort(h)
+            self._st_h = h[o]
+            self._st_t = t[o]
 
 
 class SeenShardPool:
