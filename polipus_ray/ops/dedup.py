@@ -204,6 +204,105 @@ def _expand_chunk_pairs(batch: pa.Table):
         yield pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
 
 
+def _chunk_sig_rows(ids: np.ndarray, hs: np.ndarray, cap: int = _PAIR_CHUNK) -> pa.Table:
+    """Hamming analogue of ``_chunk_rows_from_ids``: bucket members +
+    their 64-bit signatures -> bounded block-pair rows, each carrying
+    two packed (ids, sigs) blocks of <= cap members.  A degenerate
+    bucket (m near-identical signatures sharing a band) emits
+    O((m/cap)^2) narrow rows instead of doing O(m^2) popcount work —
+    and emitting O(m^2) pairs — in ONE map_groups task;
+    ``_expand_hamming_pairs`` verifies the Hamming budget per row
+    downstream (O(cap^2) work per task)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    uniq, first = np.unique(ids, return_index=True)
+    hs = np.asarray(hs, dtype=np.uint64)[first]
+    m = len(uniq)
+    if m < 2:
+        return pa.table(
+            {
+                "ids_a": pa.array([], pa.binary()),
+                "sigs_a": pa.array([], pa.binary()),
+                "ids_b": pa.array([], pa.binary()),
+                "sigs_b": pa.array([], pa.binary()),
+                "intra": pa.array([], pa.bool_()),
+            }
+        )
+    blocks = [(uniq[i : i + cap], hs[i : i + cap]) for i in range(0, m, cap)]
+    if len(blocks) > 1:
+        logger.warning(
+            "hot hamming bucket: %d members split into %d sub-blocks (%d block-pair rows)",
+            m,
+            len(blocks),
+            len(blocks) * (len(blocks) + 1) // 2,
+        )
+    IA, SA, IB, SB, IT = [], [], [], [], []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            IA.append(blocks[i][0].tobytes())
+            SA.append(blocks[i][1].tobytes())
+            IB.append(blocks[j][0].tobytes())
+            SB.append(blocks[j][1].tobytes())
+            IT.append(i == j)
+    return pa.table(
+        {
+            "ids_a": pa.array(IA, pa.binary()),
+            "sigs_a": pa.array(SA, pa.binary()),
+            "ids_b": pa.array(IB, pa.binary()),
+            "sigs_b": pa.array(SB, pa.binary()),
+            "intra": pa.array(IT, pa.bool_()),
+        }
+    )
+
+
+def _hamming_cross(ids_a: np.ndarray, hs_a: np.ndarray, ids_b: np.ndarray, hs_b: np.ndarray, max_hamming: int):
+    """Pairs across two DISJOINT sorted id blocks within the Hamming
+    budget (blocks are consecutive slices of a sorted array, so
+    a < b holds for every emitted pair)."""
+    bva = np.ascontiguousarray(hs_a, dtype=np.uint64).view(np.uint8).reshape(len(ids_a), 8)
+    bvb = np.ascontiguousarray(hs_b, dtype=np.uint64).view(np.uint8).reshape(len(ids_b), 8)
+    d = _POPCOUNT8[bva[:, None, :] ^ bvb[None, :, :]].sum(axis=2, dtype=np.uint16)
+    ii, jj = np.nonzero(d <= max_hamming)
+    return ids_a[ii], ids_b[jj]
+
+
+def _expand_hamming_pairs(batch: pa.Table, max_hamming: int):
+    """Block-pair rows -> Hamming-verified (a, b) pairs, one output
+    block per row so no task's output exceeds ~cap^2 pairs."""
+    emitted = False
+    for ia, sa, ib, sb, intra in zip(
+        batch["ids_a"].to_pylist(),
+        batch["sigs_a"].to_pylist(),
+        batch["ids_b"].to_pylist(),
+        batch["sigs_b"].to_pylist(),
+        batch["intra"].to_pylist(),
+    ):
+        a_ids = np.frombuffer(ia, dtype=np.int64)
+        a_hs = np.frombuffer(sa, dtype=np.uint64)
+        if intra:
+            A, B = hamming_pairs_vec(a_ids, a_hs, max_hamming)
+        else:
+            A, B = _hamming_cross(a_ids, a_hs, np.frombuffer(ib, dtype=np.int64), np.frombuffer(sb, dtype=np.uint64), max_hamming)
+        if len(A):
+            emitted = True
+            yield pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
+    if not emitted:  # keep the schema observable for downstream groupby
+        yield pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+
+def banded_hamming_pairs(banded, keys: list[str], id_col: str, sig_col: str, max_hamming: int):
+    """groupby(keys) -> Hamming-verified deduped (a, b) pairs with
+    a < b, through the bounded block-pair path (no per-bucket O(m^2)
+    task, however degenerate the bucket)."""
+
+    def chunk_group(g: pa.Table) -> pa.Table:
+        hs = g[sig_col].to_numpy()
+        return _chunk_sig_rows(g[id_col].to_numpy(), hs.view(np.uint64) if hs.dtype == np.int64 else hs.astype(np.uint64))
+
+    chunked = banded.groupby(keys).map_groups(chunk_group, batch_format="pyarrow")
+    pairs = chunked.map_batches(lambda b: _expand_hamming_pairs(b, max_hamming), batch_format="pyarrow", batch_size=8)
+    return _dedup_pairs_ds(pairs)
+
+
 def _banded_pairs(banded, keys: list[str]):
     """groupby(keys) -> deduped candidate (a, b) pairs with a < b,
     via the bounded two-stage generation above.  batch_size=8 keeps
@@ -410,16 +509,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, table=None):
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        hs = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        uniq, first = np.unique(ids, return_index=True)
-        A, B = hamming_pairs_vec(uniq, hs[first], max_hamming)
-        return pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
-
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
-    cand = ds.map_batches(sig_stage, batch_format="pyarrow").groupby(["band_id", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    return verify_sorted(_dedup_pairs_ds(cand))
+    banded = ds.map_batches(sig_stage, batch_format="pyarrow")
+    return verify_sorted(banded_hamming_pairs(banded, ["band_id", "band_val"], "doc_id", "simhash", max_hamming))
 
 
 def _gram_hashes(text: str, n: int) -> np.ndarray:

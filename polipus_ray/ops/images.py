@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..synth.images import decode_image, phash64
-from .dedup import _dedup_pairs_ds, hamming_pairs_vec, join_partitions
+from .dedup import banded_hamming_pairs, join_partitions
 
 
 class DecodeVerify:
@@ -107,18 +107,11 @@ def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_numpy()
-        hs = group["phash"].to_numpy().astype(np.int64).view(np.uint64)
-        uniq, first = np.unique(ids, return_index=True)
-        A, B = hamming_pairs_vec(uniq, hs[first], max_hamming)
-        return pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
-
     narrow = ds.select_columns([id_col, "phash"])
-    cand = narrow.map_batches(explode, batch_format="pyarrow").groupby(["band_id", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    # vectorized pair dedup (one aggregate call per block, not one
-    # python call per distinct pair)
-    return _dedup_pairs_ds(cand).sort(["a", "b"])
+    banded = narrow.map_batches(explode, batch_format="pyarrow")
+    # bounded block-pair path: a degenerate band bucket splits into
+    # <= _PAIR_CHUNK-member blocks, so no single task does O(m^2) work
+    return banded_hamming_pairs(banded, ["band_id", "band_val"], "id", "phash", max_hamming).sort(["a", "b"])
 
 
 def _cc_losers_distributed(pairs, max_iters: int = 25, n_pairs: int | None = None):

@@ -284,3 +284,30 @@ def test_hot_bucket_bounded_split(ray_session):
     nch = (10_000 + _PAIR_CHUNK - 1) // _PAIR_CHUNK
     assert rows.num_rows == nch * (nch + 1) // 2
     assert max(len(x) for x in rows["ids_a"].to_pylist()) <= _PAIR_CHUNK * 8
+
+
+def test_hamming_hot_bucket_bounded_split(ray_session):
+    """A degenerate simhash bucket (identical signatures) must run
+    through the bounded block-pair path — no single map_groups task
+    does O(m^2) popcount work or emits O(m^2) pairs — and still emit
+    the exact pair set."""
+    from polipus_ray.ops.dedup import _PAIR_CHUNK, _chunk_sig_rows, simhash_pairs
+
+    n = 1500  # ~3 sub-blocks per band bucket
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["identical boilerplate page body"] * n, pa.string()),
+        }
+    )
+    got = simhash_pairs(SF, max_hamming=3, table=t)
+    assert got.count() == n * (n - 1) // 2  # every pair, exactly once
+
+    # unit: 50k identical signatures -> O((m/cap)^2) narrow block-pair
+    # rows (each block <= cap members), never pair rows
+    ids = np.arange(50_000, dtype=np.int64)
+    hs = np.full(50_000, 0xDEADBEEF, dtype=np.uint64)
+    rows = _chunk_sig_rows(ids, hs)
+    nch = (50_000 + _PAIR_CHUNK - 1) // _PAIR_CHUNK
+    assert rows.num_rows == nch * (nch + 1) // 2
+    assert max(len(x) for x in rows["ids_a"].to_pylist()) <= _PAIR_CHUNK * 8
