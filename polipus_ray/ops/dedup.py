@@ -303,15 +303,19 @@ def banded_hamming_pairs(banded, keys: list[str], id_col: str, sig_col: str, max
     return _dedup_pairs_ds(pairs)
 
 
-def _banded_pairs(banded, keys: list[str]):
-    """groupby(keys) -> deduped candidate (a, b) pairs with a < b,
-    via the bounded two-stage generation above.  batch_size=8 keeps
-    per-task pair output <= 8 * cap^2 (~2M pairs)."""
+def _banded_pairs(banded, keys: list[str], dedup: bool = True):
+    """groupby(keys) -> candidate (a, b) pairs with a < b, via the
+    bounded two-stage generation above.  batch_size=8 keeps per-task
+    pair output <= 8 * cap^2 (~2M pairs).  ``dedup=False`` returns the
+    raw (multi-band duplicated) pairs for consumers that fold the
+    distinct into their own later stage (e.g. the adaptive Jaccard
+    verify, which dedups driver-side below its size limit — skipping
+    a full shuffle)."""
     chunked = banded.groupby(keys).map_groups(
         lambda g: _chunk_rows_from_ids(g["doc_id"].to_numpy()), batch_format="pyarrow"
     )
     pairs = chunked.map_batches(_expand_chunk_pairs, batch_format="pyarrow", batch_size=8)
-    return _dedup_pairs_ds(pairs)
+    return _dedup_pairs_ds(pairs) if dedup else pairs
 
 
 def band_ranges(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
@@ -398,14 +402,62 @@ def _unpack_u64(b: bytes) -> np.ndarray:
     return np.frombuffer(b, dtype=np.uint64)
 
 
-def _jaccard_verify_join(cand, sigs, threshold: float, num_partitions: int | None = None, rows: int | None = None):
-    """Distributed exact-Jaccard verify: join candidate pairs against
-    the (doc_id, sig:binary packed uint64 set) dataset on both sides,
-    then compute Jaccard per pair.  The scale path: pairs and
-    signatures both shuffle by key; nothing is materialized on the
-    driver or broadcast whole (Arrow joins reject list columns, hence
-    the packed-binary signature encoding)."""
+def _jaccard_verify_join(
+    cand, sigs, threshold: float, num_partitions: int | None = None, rows: int | None = None, driver_id_limit: int = 20_000
+):
+    """Exact-Jaccard verify of candidate pairs, adaptive (the same
+    dual-path pattern as phash keep-first's driver_pair_limit):
+
+    - small candidate sets (<= driver_id_limit distinct doc ids,
+      ~50 MB of packed signatures): pull ONLY the candidate pairs +
+      the candidate ids' signature rows driver-side (narrow, bounded)
+      and verify vectorized — the distributed joins' fixed
+      aggregator-actor spin-up dominates wall time at this volume
+      (measured: ~6 s of an 8.7 s minhash run at 5k docs).
+    - above the limit: distributed double hash join of the pairs
+      against the (doc_id, sig:binary packed uint64 set) dataset —
+      pairs and signatures both shuffle by key; nothing materializes
+      on the driver or broadcasts whole (Arrow joins reject list
+      columns, hence the packed-binary signature encoding).
+
+    ``cand`` may carry multi-band duplicate pairs: the driver path
+    dedups in numpy, the join path with the distinct-shuffle — so the
+    small path never pays the extra groupby."""
+    if driver_id_limit > 0:
+        cand = cand.materialize()
+        n_pairs = cand.count()
+        if n_pairs <= 8 * driver_id_limit:
+            pt = pa.concat_tables([pa.Table.from_pydict({"a": [], "b": []}, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]))] + [b for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow")])
+            A = pt["a"].to_numpy()
+            B = pt["b"].to_numpy()
+            if len(A):  # sorted-distinct (multi-band dup pairs fold here)
+                o = np.lexsort((B, A))
+                A, B = A[o], B[o]
+                first = np.ones(len(A), dtype=bool)
+                first[1:] = (A[1:] != A[:-1]) | (B[1:] != B[:-1])
+                A, B = A[first], B[first]
+            ids = np.unique(np.concatenate([A, B])) if len(A) else np.array([], np.int64)
+            if len(ids) <= driver_id_limit:
+                import ray.data
+
+                def pick(batch: pa.Table) -> pa.Table:
+                    return batch.filter(pa.array(np.isin(batch["doc_id"].to_numpy(), ids)))
+
+                smap: dict[int, np.ndarray] = {}
+                for blk in sigs.map_batches(pick, batch_format="pyarrow").iter_batches(batch_size=4096, batch_format="pyarrow"):
+                    for did, sb in zip(blk["doc_id"].to_pylist(), blk["sig"].to_pylist()):
+                        smap[did] = _unpack_u64(sb)
+                keep = np.zeros(len(A), dtype=bool)
+                for k in range(len(A)):
+                    s1, s2 = smap[int(A[k])], smap[int(B[k])]
+                    inter = np.intersect1d(s1, s2, assume_unique=True).size
+                    union = s1.size + s2.size - inter
+                    keep[k] = (inter / union if union else 1.0) >= threshold
+                return ray.data.from_arrow(
+                    pa.table({"a": pa.array(A[keep], pa.int64()), "b": pa.array(B[keep], pa.int64())})
+                )
     num_partitions = num_partitions or join_partitions(rows)
+    cand = _dedup_pairs_ds(cand)
     j = cand.join(sigs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("doc_id",))
     j = j.join(sigs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
@@ -421,13 +473,13 @@ def _jaccard_verify_join(cand, sigs, threshold: float, num_partitions: int | Non
     return verify_sorted(j.map_batches(verify, batch_format="pyarrow"))
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, bands: int = 16, ngram: int = 5, table=None):
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, bands: int = 16, ngram: int = 5, table=None, driver_id_limit: int = 20_000):
     """Near-dup pairs by MinHash-LSH, verified with exact Jaccard on
     char n-gram shingles.  Oracle-SQL-checked: band keys are the
-    literal '_'-joined signature values and every hash is md5-derived,
-    so the DuckDB oracle reproduces candidates AND verification
-    exactly.  Verification is a distributed signature join — nothing
-    is pulled to the driver or broadcast whole."""
+    md5-u64 of the '_'-joined signature values and every hash is
+    md5-derived, so the DuckDB oracle reproduces candidates AND
+    verification exactly.  Verification is a distributed signature
+    join — nothing is pulled to the driver or broadcast whole."""
     import ray.data
 
     a, b = _minhash_params(num_perm)
@@ -439,26 +491,31 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, 
 
     def band_stage(batch: pa.Table) -> pa.Table:
         # bands derived from the PACKED shingle sets: the expensive
-        # shingling runs once total, not once per downstream pipeline
+        # shingling runs once total, not once per downstream pipeline.
+        # band_key = md5-u64 of the '_'-joined signature chunk (not the
+        # ~150 B string itself): ~10x fewer bytes through the banding
+        # shuffle, still exactly replicable in SQL via
+        # ('0x'||substr(md5(string_agg(v,'_' ORDER BY j)),1,16))::UBIGINT
         band_id, band_key, doc = [], [], []
         for did, packed in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
             sig = _minhash_sig(_unpack_u64(packed), a, b)
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                h = _h64("_".join(str(int(v)) for v in chunk))
                 band_id.append(bi)
-                band_key.append("_".join(str(int(v)) for v in chunk))
+                band_key.append(h - (1 << 64) if h >= (1 << 63) else h)
                 doc.append(did)
         return pa.table(
-            {"band_id": pa.array(band_id, pa.int32()), "band_key": pa.array(band_key, pa.string()), "doc_id": pa.array(doc, pa.int64())}
+            {"band_id": pa.array(band_id, pa.int32()), "band_key": pa.array(band_key, pa.int64()), "doc_id": pa.array(doc, pa.int64())}
         )
 
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
     # distributed materialize (object store, never the driver): the
     # sigs feed both the banding pipeline and the verify join
     sigs = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
-    cand = _banded_pairs(sigs.map_batches(band_stage, batch_format="pyarrow"), ["band_id", "band_key"])
+    cand = _banded_pairs(sigs.map_batches(band_stage, batch_format="pyarrow"), ["band_id", "band_key"], dedup=False)
     n_docs = table.num_rows if table is not None else _parquet_rows(f"{sf_dir}/documents.parquet")
-    return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs)
+    return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs, driver_id_limit=driver_id_limit)
 
 
 def verify_sorted(ds):
@@ -524,7 +581,7 @@ def _gram_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(np.array([_h64_cached(g) for g in grams], dtype=np.uint64))
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=None):
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=None, driver_id_limit: int = 20_000):
     """Near-dup pairs via word n-gram Jaccard, exact.  Candidates come
     from a PREFIX-FILTERED inverted index (index each doc's smallest
     |X| - ceil(t*|X|) + 1 gram hashes; the AllPairs prefix filter
@@ -550,9 +607,9 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=N
 
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
     sigs = ds.map_batches(gram_sets, batch_format="pyarrow")
-    cand = _banded_pairs(ds.map_batches(explode_prefix, batch_format="pyarrow"), ["gram"])
+    cand = _banded_pairs(ds.map_batches(explode_prefix, batch_format="pyarrow"), ["gram"], dedup=False)
     n_docs = table.num_rows if table is not None else _parquet_rows(f"{sf_dir}/documents.parquet")
-    return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs)
+    return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs, driver_id_limit=driver_id_limit)
 
 
 def emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -58,6 +58,10 @@ def test_minhash_lsh_vs_bruteforce(ray_session):
     # LSH may miss borderline pairs but every returned pair is verified-true;
     # with these dups (J ~ 1.0) recall must be full
     assert got == want
+    # the distributed join verify (the at-scale path above
+    # driver_id_limit) must agree with the bounded driver verify
+    got_join = [(r["a"], r["b"]) for r in minhash_lsh_pairs(SF, threshold=0.8, table=t, driver_id_limit=0).take_all()]
+    assert got_join == want
     assert (1000 and (0, 1000) in got) and (1, 1001) in got
 
 
