@@ -137,8 +137,12 @@ class Fetcher:
         # replacing a per-round per-actor parquet re-read
         self.web_refs = web_refs
         self._buckets: dict[int, _Bucket] = {}
-        self._next_ok: dict[str, float] = {}
-        self._delay_cache: dict[str, float] = {}
+        # politeness clocks in integer MICROSECONDS: the closed-form
+        # per-host schedule (base + k*d) must be bit-stable for
+        # fractional crawl delays too, so delays are quantized to us
+        # once and all clock arithmetic is exact int64 (ADVICE r3)
+        self._next_ok: dict[str, int] = {}
+        self._delay_cache: dict[str, int] = {}
         self._hh_cache: dict[str, tuple[int, int]] = {}
         # per-host cookie jar (T4, reference http.rb:143-152): the
         # simulated server sets a deterministic session cookie on each
@@ -304,8 +308,8 @@ class Fetcher:
         # the per-request accumulation computed for all rows at once
         hu, inv = np.unique(np.asarray(hosts, dtype=object), return_inverse=True)
         G = len(hu)
-        delays = np.empty(G, np.float64)
-        bases = np.empty(G, np.float64)
+        delays = np.empty(G, np.int64)  # integer microseconds (exact)
+        bases = np.empty(G, np.int64)
         dcache = self._delay_cache
         hcache = self._hh_cache
         hh_g = np.empty(G, np.int64)
@@ -314,11 +318,11 @@ class Fetcher:
             h = hu[gi]
             d = dcache.get(h)
             if d is None:
-                d = self._delay(h)
+                d = int(round(self._delay(h) * 1_000_000))
                 dcache[h] = d
             delays[gi] = d
-            b0 = self._next_ok.get(h, 0.0)
-            bases[gi] = 0.0 if b0 < 0.0 else b0
+            b0 = self._next_ok.get(h, 0)
+            bases[gi] = 0 if b0 < 0 else b0
             got = hcache.get(h)
             if got is None:
                 v = host_hash64(h)
@@ -331,13 +335,13 @@ class Fetcher:
         sizes = np.diff(np.concatenate((starts, [n])))
         occ = np.empty(n, np.int64)
         occ[s_idx] = np.arange(n) - np.repeat(starts, sizes)
-        t0 = bases[inv] + occ * delays[inv]
+        t0 = bases[inv] + occ * delays[inv]  # int64 us, exact
         for gi in range(G):
-            self._next_ok[hu[gi]] = bases[gi] + sizes[gi] * delays[gi]
+            self._next_ok[hu[gi]] = int(bases[gi] + sizes[gi] * delays[gi])
         if cfg.simulate_politeness_wall_clock:
             # simulation-only: one aggregate sleep per sub-batch (same
             # total wall time as per-request sleeps)
-            tot = float(delays[inv].sum())
+            tot = float(delays[inv].sum()) / 1_000_000.0
             if tot > 0:
                 time.sleep(tot)
         hh_col = hh_g[inv]
@@ -574,7 +578,7 @@ class Fetcher:
             "links": payload["links"],
             "content_type": payload["content_type"],
             "response_time": pa.array((req_uh % np.uint64(20) + np.uint64(5)).astype(np.int64)),
-            "fetched_at": pa.array(np.where(hit, self.now + t0.astype(np.int64), -1)),
+            "fetched_at": pa.array(np.where(hit, self.now + t0 // 1_000_000, -1)),
             "ua": ua_col,
             "cookies_sent": ck_col,
             "error": err_col,
@@ -634,6 +638,8 @@ class Fetcher:
                 import ray
 
                 tables = ray.get(batch)  # zero-copy plasma reads
+                if not tables:  # defensive: empty part list (ADVICE r3)
+                    return {"stored": 0, "errors": 0, "cand": None, "cand_keys": None, "spill": None, "keys": None, "deferred": None, "unstorable": None, "path": None, "timings": tm, "deduped": True, "nrows": 0}
                 batch = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
             mine = self._bucket_lut[batch["host_bucket"].to_numpy().astype(np.int64)] == actor_id
             batch = batch.filter(pa.array(mine))

@@ -126,6 +126,19 @@ def read_pages_dir(pages_root: str, columns: list[str] | None = None) -> pa.Tabl
     return t
 
 
+def _single_node() -> bool:
+    """True when the Ray cluster is (or will be, in local mode) one
+    node — the plasma-frontier mode's locality precondition."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return True  # local auto-init is always single-node
+        return len([n for n in ray.nodes() if n.get("Alive", True)]) <= 1
+    except Exception:  # pragma: no cover — defensive introspection
+        return True
+
+
 _EMIT_FILE_TASK = None
 
 
@@ -198,8 +211,13 @@ class CrawlEngine:
         # Ray objects instead of parquet files — no lz4 encode/decode,
         # no file IO, zero-copy actor reads.  Checkpointable runs and
         # the dataset scheduler (ray.data.read_parquet input) keep
-        # parquet parts.
-        self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool")
+        # parquet parts.  SINGLE-NODE ONLY (ADVICE r3): every actor
+        # ray.get's all part refs and selects its own rows, which is
+        # zero-copy on one node but a W-way full-frontier transfer per
+        # round across nodes (and caps frontier size at object-store
+        # size instead of disk) — multi-node clusters fall back to
+        # parquet parts until locality-aware part routing exists.
+        self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool" and _single_node())
         self.pool = pool or SeenShardPool(
             num_shards=cfg.resolved_num_seen_shards(),
             kind=cfg.seen_kind,

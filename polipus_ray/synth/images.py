@@ -117,7 +117,17 @@ def phash64_from_gray(gray3: np.ndarray) -> np.ndarray:
     bit-identical to the full 32x32 transform (pinned by test_synth)
     at ~1/10 the FLOPs and intermediate traffic.  Lets callers compute
     luma once and hash several subsampled scales of the same gray
-    stack."""
+    stack.
+
+    PORTABILITY (ADVICE r3): "bit-identical" additionally assumes the
+    BLAS evaluates each k=32 dot product in the same order across GEMM
+    shapes — true for this container's OpenBLAS (pinned by
+    test_synth::test_phash_batch_matches_scalar), and generally true
+    because k=32 is below typical micro-kernel split thresholds.  On a
+    platform where that assumption breaks, the symptom is loud, not
+    silent: payload verification fails wholesale (payload_ok=False
+    everywhere) and test_synth fails — re-pin BLAS threading or drop
+    to the scalar ``phash64`` path if that ever happens."""
     n, h, w = gray3.shape
     yi = (np.arange(32) * h // 32).astype(np.int64)
     xi = (np.arange(32) * w // 32).astype(np.int64)

@@ -691,3 +691,48 @@ def test_link_extractor_vectorized_equals_row_loop():
             tv, tr = vec(b), rows(b)
             assert tv.schema.equals(tr.schema)
             assert tv.equals(tr)
+
+
+def _live_ray_workers() -> int:
+    """Count live Ray worker processes via /proc (no psutil in the
+    container)."""
+    import glob
+
+    n = 0
+    for f in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            cl = open(f, "rb").read().decode(errors="replace")
+        except OSError:
+            continue
+        if "default_worker.py" in cl:
+            n += 1
+    return n
+
+
+def test_plasma_frontier_multi_round_bounded_workers(ray_session, world_dir):
+    """Regression for the r3 watch item: fetch actors ray.get-ing
+    other actors' plasma spill refs (the plasma-frontier mode's
+    actor->actor part flow) must not trigger runaway worker spawns,
+    and a multi-round plasma crawl must shut down cleanly (pool
+    released, stored set == oracle)."""
+    wd, spec = world_dir
+    before = _live_ray_workers()
+    cfg = CrawlConfig(
+        depth_limit=4,
+        obey_robots_txt=True,
+        small_round_threshold=0,
+        checkpoint=False,  # plasma frontier engages only without checkpoints
+        workers=4,
+        deterministic_order=False,  # in-actor admission: refs cross actors
+    )
+    eng, res, sim = run_both(wd, spec, cfg)
+    assert eng.spill.plasma, "plasma frontier mode should be active"
+    assert res["rounds"] >= 4  # refs flowed actor->actor across rounds
+    pt = eng.pages_table(columns=["uuid"])
+    assert set(pt["uuid"].to_pylist()) == set(sim.stored.keys())
+    assert eng._fetch_actors is None  # pool released at crawl end
+    grew = _live_ray_workers() - before
+    # the crawl legitimately adds its own actors (fetch pool + seen
+    # shards) and a few task workers; anything far beyond that is the
+    # blocked-ray.get worker explosion this test guards against
+    assert grew <= cfg.workers + cfg.resolved_num_seen_shards() + 16, grew
