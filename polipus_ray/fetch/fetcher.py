@@ -172,6 +172,30 @@ class Fetcher:
         # emit spill parts as Ray objects instead of lz4 parquet files
         self._plasma_spill = bool(plasma_spill)
 
+    def export_bucket_state(self, bucket: int) -> dict:
+        """Rebalance-move donor side: hand over the bucket's per-host
+        MUTABLE state — politeness clocks and cookie jar — and drop the
+        cached web partition.  Clocks/cookies travelling with the
+        bucket keep per-host semantics byte-identical to a static
+        assignment: a host is still served by exactly one actor at a
+        time, and moves happen between rounds (no fetch in flight)."""
+        b = int(bucket)
+        clocks: dict[str, int] = {}
+        for h in list(self._next_ok):
+            if host_hash64(h) % self.num_buckets == b:
+                clocks[h] = self._next_ok.pop(h)
+        cookies: dict[str, str] = {}
+        for h in list(self._cookie_jar):
+            if host_hash64(h) % self.num_buckets == b:
+                cookies[h] = self._cookie_jar.pop(h)
+        self._buckets.pop(b, None)  # receiver loads its own copy (plasma, zero-copy)
+        return {"clocks": clocks, "cookies": cookies}
+
+    def import_bucket_state(self, state: dict) -> None:
+        """Rebalance-move receiver side."""
+        self._next_ok.update(state["clocks"])
+        self._cookie_jar.update(state["cookies"])
+
     def set_bucket_lut(self, lut: np.ndarray) -> None:
         """bucket -> actor assignment, shipped once at pool creation so
         ``run_round_batch(select_mine=True)`` can select this actor's
@@ -754,6 +778,7 @@ class Fetcher:
         tm["extract"] = time.perf_counter() - s
         spill = None
         cand_keys = None
+        bucket_rows = None
         if spill_path is not None and self.cfg.deterministic_order and cand is not None and cand.num_rows:
             # deterministic scale path: candidates sorted locally and
             # STAY in the actor; only the narrow ordering/dedup keys
@@ -811,6 +836,11 @@ class Fetcher:
             cand = tracker_admit(cand, self.pool, self.cfg, now)
             n = cand.num_rows
             if n:
+                # next-round load histogram for the driver's bucket
+                # rebalancer (256 x int64 — tiny)
+                bucket_rows = np.bincount(
+                    cand["host_bucket"].to_numpy().astype(np.int64), minlength=self.num_buckets
+                )
                 # composite-seq layout: 2^28 seqs per (round, actor),
                 # 4096 actors per round.  Overflowing either collides
                 # adjacent ranges and silently corrupts (url_hash, seq)
@@ -866,6 +896,7 @@ class Fetcher:
             "keys": keys,
             "deferred": deferred,
             "unstorable": unstorable,
+            "bucket_rows": bucket_rows,
             "path": out_path if stored else None,
             "timings": tm,
             "deduped": True,  # within-round uuid dedup already applied

@@ -605,6 +605,49 @@ class CrawlEngine:
             ray.get([a.set_bucket_lut.remote(lref) for a in self._fetch_actors])
         return self._fetch_actors
 
+    def _rebalance_buckets(self, agg: np.ndarray) -> int:
+        """Bounded per-round LUT repair (SURVEY.md skew row / verdict
+        r3 #7): with the NEXT round's exact per-bucket frontier rows
+        (``agg``), greedily move up to 8 buckets from the most- to the
+        least-loaded actor.  Each move ships the bucket's per-host
+        politeness clocks + cookie jar donor -> receiver (between
+        rounds, no fetch in flight), so per-host serialization and
+        fetched_at values stay byte-identical to a static assignment
+        (parity suite covers this).  Returns the number of moves."""
+        if not self.cfg.rebalance_buckets or self._fetch_actors is None or agg is None:
+            return 0
+        import ray
+
+        W = len(self._fetch_actors)
+        if W < 2 or agg.sum() == 0:
+            return 0
+        lut = self._bucket_lut
+        loads = np.bincount(lut, weights=agg, minlength=W).astype(np.int64)
+        mean = loads.sum() / W
+        moves: list[tuple[int, int, int]] = []
+        for _ in range(8):
+            src = int(np.argmax(loads))
+            dst = int(np.argmin(loads))
+            gap = int(loads[src] - loads[dst])
+            if loads[src] <= mean * 1.05 or gap <= 0:
+                break
+            cand_b = np.flatnonzero((lut == src) & (agg > 0))
+            fits = cand_b[agg[cand_b] < gap]  # moving must shrink the gap
+            if not len(fits):
+                break
+            bb = int(fits[np.argmin(np.abs(agg[fits] - gap / 2))])
+            moves.append((bb, src, dst))
+            lut[bb] = dst
+            loads[src] -= agg[bb]
+            loads[dst] += agg[bb]
+        if not moves:
+            return 0
+        states = ray.get([self._fetch_actors[s].export_bucket_state.remote(b) for b, s, _ in moves])
+        ray.get([self._fetch_actors[d].import_bucket_state.remote(st) for (_, _, d), st in zip(moves, states)])
+        lref = ray.put(lut)
+        ray.get([a.set_bucket_lut.remote(lref) for a in self._fetch_actors])
+        return len(moves)
+
     def _balanced_bucket_lut(self, W: int) -> np.ndarray:
         """bucket -> actor lookup table: deterministic greedy
         assignment by per-bucket web row counts (largest first onto
@@ -677,11 +720,20 @@ class CrawlEngine:
         ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]
         self._last_keys = pa.concat_tables(ks) if ks else None
         self._last_unstorable = [r_.get("unstorable") for r_ in results]
+        # next-round per-bucket load (for the bounded LUT rebalancer):
+        # relaxed mode sums the actors' emitted-row histograms; det
+        # mode gets it from the driver's admission pass below
+        agg_rows = np.zeros(self.num_buckets, dtype=np.int64)
+        for r_ in results:
+            br = r_.get("bucket_rows")
+            if br is not None:
+                agg_rows += np.asarray(br, dtype=np.int64)
         # hot-host-cap deferrals rejoin the frontier (original seq kept)
         for r_ in results:
             d = r_.get("deferred")
             if d is not None and d.num_rows:
                 self.spill.append_table(d)
+                agg_rows += np.bincount(d["host_bucket"].to_numpy().astype(np.int64), minlength=self.num_buckets)
         if relaxed:
             # round-robin interleave of the actors' chunked spill
             # parts: any later active-slice cut boundary then spreads
@@ -704,14 +756,23 @@ class CrawlEngine:
                 per_actor = nxt
             self._last_enqueued = enq
             ph["register"] = _time.perf_counter() - s
+            s = _time.perf_counter()
+            ph["rebalance_moves"] = float(self._rebalance_buckets(agg_rows))
+            ph["rebalance"] = _time.perf_counter() - s
             self._last_phases = ph
             return None
         s = _time.perf_counter()
         self._admit_phases = {}
+        self._admit_bucket_rows = None
         self._last_enqueued = self._admit_narrow_keys(results, ref_actors, actors, now)
         ph["admit"] = _time.perf_counter() - s
         for k, v in self._admit_phases.items():
             ph[f"admit_{k}"] = v
+        s = _time.perf_counter()
+        if self._admit_bucket_rows is not None:
+            agg_rows += self._admit_bucket_rows
+        ph["rebalance_moves"] = float(self._rebalance_buckets(agg_rows))
+        ph["rebalance"] = _time.perf_counter() - s
         self._last_phases = ph
         return None
 
@@ -801,6 +862,12 @@ class CrawlEngine:
         s = _time.perf_counter()
         admit = expired | ~seen
         n_admit = int(admit.sum())
+        # next-round per-bucket load for the rebalancer (bucket =
+        # host_hash % num_buckets; mods stay in uint64 — a mixed
+        # uint64 % python-int silently promotes to float64)
+        self._admit_bucket_rows = np.bincount(
+            (hh[admit] % np.uint64(self.num_buckets)).astype(np.int64), minlength=self.num_buckets
+        )
         if n_admit == 0:
             return 0
         seqs = np.zeros(len(uh), dtype=np.int64)
