@@ -77,8 +77,10 @@ def bench_crawl(world_dir: str) -> dict:
         # cores for the driver (BASELINE.md r3)
         workers=int(os.environ.get("GRAFT_WORKERS", NUM_CPUS)),
         fetch_batch_size=4096,
-        # seen shards default to max(8, workers): 32 fetch actors'
-        # fused mark-stored RPCs over 8 shards serialize the barrier
+        # seen shards default to max(8, workers//2): enough that fused
+        # mark-stored RPCs don't serialize the barrier (8 shards under
+        # 32 actors did), few enough not to oversubscribe the cores
+        # (W=16 with 16 shards measured 2x slower than with 8)
         num_seen_shards=None,
         checkpoint=False,
         verify_payload=True,  # decode + phash-verify every payload (M15)

@@ -67,11 +67,13 @@ class CrawlConfig:
     # --- Ray-engine knobs (new; scale surface) ---------------------------
     fetch_concurrency: Any = None  # actor pool size; default = workers
     fetch_batch_size: int = 1024
-    # seen/stored shard-actor count; None = max(8, workers).  Shards
-    # serve batched probes from EVERY fetch actor (fused mark-stored +
-    # admission check_and_add); undersizing them serializes the fetch
-    # barrier behind shard RPC queues (measured: 8 shards under a
-    # 32-actor pool cost ~30% of the round).
+    # seen/stored shard-actor count; None = max(8, workers // 2).
+    # Shards serve batched probes from EVERY fetch actor (fused
+    # mark-stored + admission check_and_add); undersizing serializes
+    # the fetch barrier behind shard RPC queues (8 shards under a
+    # 32-actor pool cost ~30% of the round), while shards ~= workers
+    # oversubscribes the cores and stalls the fetch actors themselves
+    # (W=16 with 16 shards measured 2x slower than with 8).
     num_seen_shards: Any = None
     seen_kind: str = "cuckoo"  # 'cuckoo' | 'exact'
     seen_capacity_per_shard: int = 1_000_000
@@ -137,7 +139,7 @@ class CrawlConfig:
     def resolved_num_seen_shards(self) -> int:
         if self.num_seen_shards is not None:
             return int(self.num_seen_shards)
-        return max(8, self.resolved_fetch_concurrency())
+        return max(8, self.resolved_fetch_concurrency() // 2)
 
     def effective_user_agent(self) -> str:
         """The robots-matching UA: reference samples once at client
