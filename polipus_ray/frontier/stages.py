@@ -83,15 +83,7 @@ def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, 
     n = len(urls)
     keep = np.ones(n, dtype=bool)
     if robots is not None:
-        if robots.n_agents() > 1:
-            if uhash is None:
-                uhash = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
-            idx = (np.asarray(uhash, dtype=np.uint64) % np.uint64(robots.n_agents())).astype(np.int64)
-            keep &= np.fromiter(
-                (robots.allowed(u, h, ua_idx=int(i)) for u, h, i in zip(urls, hosts, idx)), dtype=bool, count=n
-            )
-        else:
-            keep &= np.fromiter((robots.allowed(u, h) for u, h in zip(urls, hosts)), dtype=bool, count=n)
+        keep &= robots.allowed_mask(urls, hosts, uhash=uhash)
     if follow or skip:
         paths = [urlsplit(u).path for u in urls]
         if follow:
@@ -262,12 +254,18 @@ def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: 
         # per-page link_idx over emitted rows (parent_f nondecreasing)
         _, firstpos, counts = np.unique(parent_f, return_index=True, return_counts=True)
         li = (np.arange(sel.size) - np.repeat(firstpos, counts)).astype(np.int32)
-        # url_hash64: one md5 per url, digests joined then viewed as
-        # big-endian u64 (identical bit pattern to _i64(hash64(u)))
-        urls_l = canon_f.to_pylist()
-        hash_src = urls_l if inc else [strip_query(u) for u in urls_l]
+        # url_hash64: one md5 per DISTINCT url (links repeat ~3x within
+        # a share — dictionary_encode dedups at C level), digests
+        # joined then viewed as big-endian u64 (identical bit pattern
+        # to _i64(hash64(u)))
+        ud = pc.dictionary_encode(canon_f)
+        uidx = ud.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = ud.dictionary.to_pylist()
+        hash_src = uu if inc else [strip_query(u) for u in uu]
         digests = b"".join([_hl.md5(u.encode("utf-8", "surrogatepass")).digest() for u in hash_src])
-        urlh = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 16)[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64).view(np.int64)
+        urlh_u = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 16)[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64).view(np.int64)
+        urlh = urlh_u[uidx]
+        urls_l = canon_f.to_pylist()
         # host hashes via per-batch dictionary (few distinct hosts)
         hd = pc.dictionary_encode(host_f)
         hosts_uni = hd.dictionary.to_pylist()

@@ -159,6 +159,48 @@ class RobotsCache:
         path = path_of(url)
         return not any(r.search(path) for r in rules)
 
+    def allowed_mask(self, urls: list, hosts: list, uhash=None) -> "np.ndarray":
+        """Batched ``allowed``: rows grouped by host so the rule list
+        resolves once per (host, ua) — and hosts with NO matching
+        disallow rules (the common case) skip path parsing entirely.
+        ``uhash``: optional uint64 url hashes for per-request UA
+        resolution (ua_idx = hash % n_agents, fetcher parity).
+        Identical output to per-row ``allowed`` (pinned in
+        test_robots)."""
+        import numpy as np
+
+        n = len(urls)
+        keep = np.ones(n, dtype=bool)
+        if n == 0:
+            return keep
+        nag = len(self._uas)
+        ua_idx = None
+        if nag > 1:
+            if uhash is None:
+                from .urltools import url_hash64
+
+                uhash = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
+            ua_idx = (np.asarray(uhash, dtype=np.uint64) % np.uint64(nag)).astype(np.int64)
+        groups: dict[str, list[int]] = {}
+        for i, h in enumerate(hosts):
+            g = groups.get(h)
+            if g is None:
+                groups[h] = [i]
+            else:
+                g.append(i)
+        for h, rows in groups.items():
+            for ui in range(nag):
+                rules = self._rules_for(h, ui)
+                if not rules:
+                    continue
+                for i in rows:
+                    if ua_idx is not None and ua_idx[i] != ui:
+                        continue
+                    p = path_of(urls[i])
+                    if any(r.search(p) for r in rules):
+                        keep[i] = False
+        return keep
+
     def delay(self, host: str, ua_idx: int = 0) -> int | None:
         try:
             return self._host_delay[(host, ua_idx)]
