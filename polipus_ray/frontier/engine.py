@@ -297,12 +297,25 @@ class CrawlEngine:
                 return pa.concat_tables([pq.read_table(f, columns=_FETCH_COLUMNS) for f in files]).combine_chunks()
 
             # parallel read; each task's return lands in plasma and the
-            # ObjectRef IS the broadcast handle (no driver copy)
+            # ObjectRef IS the broadcast handle (no driver copy).
+            # Submission is WINDOWED: num_cpus=0 tasks have no
+            # scheduling bound, so submitting all buckets at once made
+            # the raylet spawn a worker per task (~150 transient
+            # processes — the round-3 "worker explosion" watch item);
+            # keeping <= 2x CPUs in flight reuses a bounded worker set
+            # at the same wall time.
+            cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+            window = max(8, 2 * cpus)
             refs = {}
+            pending: list = []
             for d in sorted(glob.glob(os.path.join(self.world["web_dir"], "host_bucket=*"))):
                 b = int(d.split("=")[1])
                 files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-                refs[b] = _read_bucket.remote(files)
+                r = _read_bucket.remote(files)
+                refs[b] = r
+                pending.append(r)
+                if len(pending) >= window:
+                    _, pending = ray.wait(pending, num_returns=1)
             self._web_refs = refs
         return self._web_refs
 

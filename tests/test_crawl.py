@@ -695,7 +695,8 @@ def test_link_extractor_vectorized_equals_row_loop():
 
 def _live_ray_workers() -> int:
     """Count live Ray worker processes via /proc (no psutil in the
-    container)."""
+    container).  Matches both fresh workers (default_worker.py in
+    argv) and retitled ones (Ray rewrites argv to 'ray::<task>')."""
     import glob
 
     n = 0
@@ -704,7 +705,7 @@ def _live_ray_workers() -> int:
             cl = open(f, "rb").read().decode(errors="replace")
         except OSError:
             continue
-        if "default_worker.py" in cl:
+        if "default_worker.py" in cl or cl.startswith("ray::"):
             n += 1
     return n
 
