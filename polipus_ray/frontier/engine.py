@@ -1012,18 +1012,17 @@ class CrawlEngine:
         return n
 
     def _extract_candidates(self, round_dir: str, local: bool) -> pa.Table:
+        """Driver-LOCAL candidate extraction (use_ray=False engines and
+        the BFS-tail small rounds).  Remote rounds never come here:
+        pool mode extracts in-actor, dataset mode spools through
+        ``_admit_candidate_files`` — enforced so no scheduler can
+        regress into concatenating candidate batches driver-side (the
+        round-3 verdict's dead-code finding, now load-bearing)."""
+        if not local:
+            raise RuntimeError("_extract_candidates is driver-local only; remote rounds admit via _admit_candidate_files / in-actor extraction")
         extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self.world["robots"])
-        if local:
-            narrow = pa.concat_tables([pq.read_table(f, columns=PAGE_NARROW) for f in glob.glob(os.path.join(round_dir, "*.parquet"))])
-            return extractor(narrow)
-        import ray.data
-
-        ds = ray.data.read_parquet(round_dir, columns=PAGE_NARROW)
-        cand = ds.map_batches(extractor, batch_format="pyarrow", batch_size=4096)
-        parts = [b for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow")]
-        if not parts:
-            return extractor(pa.table({c: pa.array([], t) for c, t in zip(PAGE_NARROW, [pa.string(), pa.string(), pa.list_(pa.string()), pa.int32(), pa.int64(), pa.int32(), pa.string(), pa.string()])}))
-        return pa.concat_tables(parts)
+        narrow = pa.concat_tables([pq.read_table(f, columns=PAGE_NARROW) for f in glob.glob(os.path.join(round_dir, "*.parquet"))])
+        return extractor(narrow)
 
     def _emit_frontier(self, cand: pa.Table, presorted: bool = False) -> int:
         """Admitted candidates -> FIFO seq -> spill parts."""
