@@ -220,25 +220,42 @@ def run_scaling() -> dict:
     # for the saturated pair, whose hardware ceiling is also reported)
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
-    # min over repetitions: machine noise (page cache, background IO)
-    # is one-sided — it only ever makes a run slower
-    rs_lo = [sub(lo) for _ in range(reps)]
-    rs_hi = [sub(hi) for _ in range(reps)]
+    # min over repetitions, levels INTERLEAVED (lo,hi,lo,hi,...): the
+    # shared box drifts between throughput epochs on ~10-minute
+    # timescales (measured: the same HEAD at 16 CPUs swung 71 s vs
+    # 122-128 s within 90 minutes while the cpu-control ceiling swung
+    # 0.95 -> 0.78), so running all lo reps then all hi reps lets one
+    # epoch flip bias the ratio; interleaving exposes both levels to
+    # the same drift, and min-of-reps then picks each level's
+    # best-epoch sample (noise is one-sided — it only slows runs)
+    rs_lo, rs_hi = [], []
+    for _ in range(reps):
+        rs_lo.append(sub(lo))
+        rs_hi.append(sub(hi))
     r_lo = min(rs_lo, key=lambda r: r["value"])
     r_hi = min(rs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    c_lo, c_hi = _cpu_control(lo), _cpu_control(hi)
-    ceiling = c_lo / c_hi  # same-machine frequency/contention ceiling
+    # cpu-control ceiling measured twice (before/after would straddle
+    # the crawl runs; here: once per order) — report both so a
+    # mid-campaign epoch flip is visible in the record, and normalize
+    # by the more conservative (higher) ceiling
+    c_lo1, c_hi1 = _cpu_control(lo), _cpu_control(hi)
+    c_lo2, c_hi2 = _cpu_control(lo), _cpu_control(hi)
+    ceil1, ceil2 = c_lo1 / c_hi1, c_lo2 / c_hi2
+    ceiling = max(ceil1, ceil2)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"all_sec_{lo}": [r["value"] for r in rs_lo],
+        f"all_sec_{hi}": [r["value"] for r in rs_hi],
         f"urls_per_sec_{lo}": r_lo["urls_per_sec"],
         f"urls_per_sec_{hi}": r_hi["urls_per_sec"],
         "cpu_control_ceiling": round(ceiling, 3),
+        "cpu_control_ceiling_samples": [round(ceil1, 3), round(ceil2, 3)],
         "efficiency_vs_ceiling": round(eff / ceiling, 3),
         "sf": SF_DIR,
         "web_pages": N_PAGES,
