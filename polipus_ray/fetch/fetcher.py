@@ -167,6 +167,9 @@ class Fetcher:
         self._extractor = None
         self._pending_cand: pa.Table | None = None
         self._pending_spill_path: str | None = None
+        # non-None only inside run_round_batch: mark-stored ObjectRefs
+        # collected for the engine to await at the round barrier
+        self._round_mark_refs: list | None = None
         self._bucket_lut: np.ndarray | None = None
         # plasma mode (engine sets this when checkpointing is off):
         # emit spill parts as Ray objects instead of lz4 parquet files
@@ -627,12 +630,20 @@ class Fetcher:
             t = t.filter(pa.array(keep))
         if self._mark_stored and self.pool is not None and t.num_rows:
             # fused mark-stored (only when no before_save hooks can
-            # flip storable): one RPC batch per fetch group
-            self.pool.mark_stored(
+            # flip storable): one RPC batch per fetch group.  In pool
+            # rounds the refs are collected and awaited at the round
+            # barrier (mark_stored_async) instead of blocking here —
+            # 32 actors' synchronous marks queue on the shard actors
+            # and the wait lands in every actor's critical path.
+            args = (
                 np.asarray(t["url_hash"].to_numpy(), dtype=np.int64).view(np.uint64),
                 np.asarray(t["host_hash"].to_numpy(), dtype=np.int64).view(np.uint64),
                 t["fetched_at"].to_numpy(zero_copy_only=False),
             )
+            if self._round_mark_refs is not None and hasattr(self.pool, "mark_stored_async"):
+                self._round_mark_refs.extend(self.pool.mark_stored_async(*args))
+            else:
+                self.pool.mark_stored(*args)
         return t
 
     # -- persistent-pool round method (fetch_mode='pool') ------------------
@@ -654,21 +665,27 @@ class Fetcher:
         self.round_no = round_no
         self.now = now
         tm: dict[str, float] = {}
+        _share_t0 = time.perf_counter()
+        self._round_mark_refs = []
         nrows = None
         if select_mine:
             if self._bucket_lut is None:
                 raise RuntimeError("select_mine requires set_bucket_lut() first")
+            _sel_t0 = time.perf_counter()
             if isinstance(batch, list):
                 import ray
 
                 tables = ray.get(batch)  # zero-copy plasma reads
                 if not tables:  # defensive: empty part list (ADVICE r3)
+                    self._round_mark_refs = None
                     return {"stored": 0, "errors": 0, "cand": None, "cand_keys": None, "spill": None, "keys": None, "deferred": None, "unstorable": None, "path": None, "timings": tm, "deduped": True, "nrows": 0}
                 batch = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
             mine = self._bucket_lut[batch["host_bucket"].to_numpy().astype(np.int64)] == actor_id
             batch = batch.filter(pa.array(mine))
+            tm["select"] = time.perf_counter() - _sel_t0
             nrows = batch.num_rows
             if batch.num_rows == 0:
+                self._round_mark_refs = None
                 return {"stored": 0, "errors": 0, "cand": None, "cand_keys": None, "spill": None, "keys": None, "deferred": None, "unstorable": None, "path": None, "timings": tm, "deduped": True, "nrows": 0}
         deferred = None
         cap = int(self.cfg.max_urls_per_host_per_round or 0)
@@ -712,6 +729,7 @@ class Fetcher:
                 tm["verify"] += time.perf_counter() - s
             parts.append(p)
         pages = parts[0] if len(parts) == 1 else pa.concat_tables(parts).combine_chunks()
+        _mark_t0 = time.perf_counter()
         unstorable = None
         if self._before_save_hooks:
             for fn in self._before_save_hooks:
@@ -725,8 +743,6 @@ class Fetcher:
                     # narrow (bytes-free) for the driver-side hooks
                     unstorable = pages.filter(pa.array(~mask))
             pages = filter_storable(pages)
-            if self.cfg.storage != "devnull" and self.pool is not None and pages.num_rows:
-                make_mark_stored(self.pool)(pages)
         if self.cfg.storage_except:
             pages = pages.drop_columns([c for c in self.cfg.storage_except if c in pages.column_names])
         if unstorable is not None:
@@ -756,14 +772,23 @@ class Fetcher:
                     # entry via the fused mark-stored — re-assert
                     winner = is_dup & (sq == best[inv])
                     if self.cfg.storage != "devnull" and self.pool is not None:
-                        self.pool.mark_stored(
+                        args = (
                             huh[winner].astype(np.int64).view(np.uint64),
                             pages["host_hash"].to_numpy()[winner].astype(np.int64).view(np.uint64),
                             pages["fetched_at"].to_numpy()[winner],
                         )
+                        # submitted after this actor's fused marks →
+                        # lands after them on each shard (per-caller
+                        # actor-task ordering), so the winner's entry
+                        # is the final one either way
+                        if self._round_mark_refs is not None and hasattr(self.pool, "mark_stored_async"):
+                            self._round_mark_refs.extend(self.pool.mark_stored_async(*args))
+                        else:
+                            self.pool.mark_stored(*args)
                     pages = pages.filter(pa.array(~loser))
         stored = pages.num_rows
         errors = pages.num_rows - pages["error"].null_count if stored else 0
+        tm["mark"] = time.perf_counter() - _mark_t0
         s = time.perf_counter()
         if stored:
             pq.write_table(pages, out_path, compression="zstd")
@@ -887,6 +912,8 @@ class Fetcher:
                         spill.append({"path": cp, "rows": chunk.num_rows})
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
+        tm["share_total"] = time.perf_counter() - _share_t0
+        mark_refs, self._round_mark_refs = self._round_mark_refs, None
         return {
             "stored": stored,
             "errors": errors,
@@ -901,6 +928,7 @@ class Fetcher:
             "timings": tm,
             "deduped": True,  # within-round uuid dedup already applied
             "nrows": nrows,  # this actor's selected frontier rows (select_mine)
+            "mark_refs": mark_refs or None,
         }
 
     def emit_frontier(self, admitted_idx: np.ndarray, seqs: np.ndarray) -> list[dict] | None:

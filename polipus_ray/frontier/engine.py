@@ -716,6 +716,16 @@ class CrawlEngine:
         s = _time.perf_counter()
         results = ray.get(refs)
         ph["fetch_barrier"] = _time.perf_counter() - s
+        # await the actors' async mark-stored RPCs (fired during the
+        # round, overlapped with compute): everything downstream —
+        # det-mode driver admission, checkpoint snapshots, next round's
+        # TTL probes — sees the same shard state a synchronous mark
+        # would have left
+        s = _time.perf_counter()
+        mrefs = [m for res in results for m in (res.get("mark_refs") or ())]
+        if mrefs:
+            ray.get(mrefs)
+        ph["mark_flush"] = _time.perf_counter() - s
         # drop empty shares (actors whose buckets had no rows this round)
         keep = [i for i, res in enumerate(results) if res.get("nrows") != 0]
         results = [results[i] for i in keep]
@@ -724,10 +734,29 @@ class CrawlEngine:
         if sizes:
             ph["rows_max"] = float(max(sizes))
             ph["rows_mean"] = float(sum(sizes) / len(sizes))
-        # max actor-side phase times (the barrier's critical path)
+        # actor-side phase times: max (the barrier's critical path) and
+        # mean (the useful-work level) — max >> mean flags straggler
+        # skew rather than genuinely heavy work
+        _ph_n: dict[str, int] = {}
         for res in results:
             for k, v in (res.get("timings") or {}).items():
+                if k == "share_total":
+                    continue
                 ph[f"actor_{k}_max"] = max(ph.get(f"actor_{k}_max", 0.0), v)
+                ph[f"actor_{k}_mean"] = ph.get(f"actor_{k}_mean", 0.0) + v
+                _ph_n[k] = _ph_n.get(k, 0) + 1
+        for k, n in _ph_n.items():
+            ph[f"actor_{k}_mean"] /= n
+        # whole-share wall time per actor: the barrier length is max
+        # over actors of THIS, not of any phase (share_total covers
+        # the full method incl. any untimed residue)
+        shares = [
+            (res.get("timings") or {}).get("share_total") or sum(v for k, v in (res.get("timings") or {}).items() if k != "share_total")
+            for res in results
+        ]
+        if shares:
+            ph["actor_share_max"] = max(shares)
+            ph["actor_share_mean"] = sum(shares) / len(shares)
         self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
         self._round_deduped = all(r_.get("deduped") for r_ in results) if results else False
         ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]

@@ -291,6 +291,31 @@ class SeenShardPool:
     def mark_stored(self, url_hashes, host_hashes, fetched_at) -> None:
         self._scatter_gather("mark_stored", url_hashes, host_hashes, extra_cols=(np.asarray(fetched_at, dtype=np.int64),))
 
+    def mark_stored_async(self, url_hashes, host_hashes, fetched_at) -> list:
+        """Fire-and-forget mark_stored: one batched task per touched
+        shard, WITHOUT gathering — returns the ObjectRefs for the
+        caller to await at a barrier.  Ray orders tasks per
+        (caller, actor) pair, so a caller's later probes to the same
+        shard always observe its own marks; cross-caller visibility is
+        guaranteed once the refs are awaited (the engine does this at
+        the round barrier, overlapping the RPC with other actors'
+        compute instead of blocking each actor's critical path)."""
+        url_hashes = np.asarray(url_hashes, dtype=np.uint64)
+        fetched_at = np.asarray(fetched_at, dtype=np.int64)
+        sid = self._route(host_hashes)
+        order = np.argsort(sid, kind="stable")
+        bounds = np.searchsorted(sid[order], np.arange(self.num_shards + 1))
+        refs = []
+        for s in range(self.num_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            if lo == hi:
+                continue
+            idx = order[lo:hi]
+            r = self._call(s, "mark_stored", url_hashes[idx], fetched_at[idx])
+            if self.use_ray:
+                refs.append(r)
+        return refs
+
     def unmark_stored(self, url_hashes, host_hashes) -> None:
         self._scatter_gather("unmark_stored", url_hashes, host_hashes)
 
