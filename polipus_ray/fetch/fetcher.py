@@ -898,18 +898,32 @@ class Fetcher:
                 # actor parts would concentrate a round's leftover on
                 # few actors (14x skew measured).  Small parts +
                 # round-robin registration (engine side) keep any cut
-                # boundary spread across the pool.
+                # boundary spread across the pool.  The chunk size IS
+                # the per-actor load granularity under the cap (a
+                # chunk's rows are same-host → one owner actor):
+                # 16384-row chunks measured 4-vs-3-chunk shares (33%
+                # rows-skew) at the 2M slice; 4096 plasma chunks cut
+                # that to ~6%.  Parquet chunks stay 16384 to bound the
+                # checkpoint-mode file count.
+                CH = int(os.environ.get("GRAFT_SPILL_CHUNK", "4096")) if self._plasma_spill else 16384
                 spill = []
-                for off in range(0, n, 16384):
-                    chunk = ft.slice(off, 16384)
+                hb_all = cand["host_bucket"].to_numpy().astype(np.int64)
+                for off in range(0, n, CH):
+                    chunk = ft.slice(off, CH)
+                    # per-chunk bucket histogram: lets the engine sum
+                    # the EXACT per-bucket load of whatever slice of
+                    # parts a future round activates and prebalance
+                    # the LUT against it (est. full-frontier histos
+                    # mispredict capped slices)
+                    hist = np.bincount(hb_all[off : off + CH], minlength=self.num_buckets)
                     if self._plasma_spill:
                         import ray
 
-                        spill.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows})
+                        spill.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows, "hist": hist})
                     else:
-                        cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
+                        cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // CH}.parquet")
                         pq.write_table(chunk, cp, compression="lz4")
-                        spill.append({"path": cp, "rows": chunk.num_rows})
+                        spill.append({"path": cp, "rows": chunk.num_rows, "hist": hist})
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
         tm["share_total"] = time.perf_counter() - _share_t0
@@ -964,16 +978,19 @@ class Fetcher:
             }
         )
         out = []
-        for off in range(0, n, 16384):
-            chunk = ft.slice(off, 16384)
+        CH = int(os.environ.get("GRAFT_SPILL_CHUNK", "4096")) if self._plasma_spill else 16384  # see run_round_batch
+        hb_all = sub["host_bucket"].to_numpy().astype(np.int64)
+        for off in range(0, n, CH):
+            chunk = ft.slice(off, CH)
+            hist = np.bincount(hb_all[off : off + CH], minlength=self.num_buckets)
             if self._plasma_spill:
                 import ray
 
-                out.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows})
+                out.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows, "hist": hist})
             else:
-                cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // 16384}.parquet")
+                cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // CH}.parquet")
                 pq.write_table(chunk, cp, compression="lz4")
-                out.append({"path": cp, "rows": chunk.num_rows})
+                out.append({"path": cp, "rows": chunk.num_rows, "hist": hist})
         return out
 
     def _verify_payloads(self, pages: pa.Table) -> pa.Table:

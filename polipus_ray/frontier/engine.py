@@ -206,6 +206,8 @@ class CrawlEngine:
             queue_items_limit=cfg.queue_items_limit,
             capped_max=cfg.overflow_capped_max,
         )
+        # enable per-part bucket histograms (slice-exact prebalance)
+        self.spill.num_buckets = self.num_buckets
         # plasma frontier: with checkpointing OFF (nothing re-reads
         # parts after a crash) and the pool scheduler, spill parts are
         # Ray objects instead of parquet files — no lz4 encode/decode,
@@ -565,8 +567,10 @@ class CrawlEngine:
                 "now": now,
                 "local": local,
                 "phases": {k: round(v, 4) for k, v in (self._last_phases or {}).items()},
+                **({"actors": self._last_actor_dump} if getattr(self, "_last_actor_dump", None) else {}),
             }
         )
+        self._last_actor_dump = None
         for p in self.plugins:
             getattr(p, "on_message_processed", lambda e: None)(self)
         self.round_no += 1
@@ -703,6 +707,17 @@ class CrawlEngine:
         actors = self._ensure_fetch_pool()
         W = len(actors)
         relaxed = not self.cfg.deterministic_order
+        # slice-exact prebalance: the spill parts carried per-chunk
+        # bucket histograms, so take_active() knows the EXACT
+        # per-bucket load of the slice about to run — repair the LUT
+        # against it now, before scatter.  The end-of-round rebalance
+        # (full-frontier estimate) is skipped whenever this will fire
+        # next round (see hists_complete), so each round still pays at
+        # most one bounded state migration.
+        if self.spill.last_active_hist is not None:
+            ph["prebalance_moves"] = float(self._rebalance_buckets(self.spill.last_active_hist))
+            ph["prebalance"] = _time.perf_counter() - s
+            s = _time.perf_counter()
         # every actor reads the shared plasma parts zero-copy and
         # filters to its own buckets (select_mine) — the driver never
         # take()s + serializes per-actor sub-tables
@@ -757,6 +772,13 @@ class CrawlEngine:
         if shares:
             ph["actor_share_max"] = max(shares)
             ph["actor_share_mean"] = sum(shares) / len(shares)
+        if os.environ.get("GRAFT_PHASE_DUMP"):
+            # per-actor timing dump (profiling only): attached to this
+            # round's metrics entry by _run_round
+            self._last_actor_dump = [
+                {"actor": a, "rows": res.get("nrows"), **{k: round(v, 3) for k, v in (res.get("timings") or {}).items()}}
+                for a, res in zip(ref_actors, results)
+            ]
         self._last_counts = (sum(r_["stored"] for r_ in results), sum(r_["errors"] for r_ in results))
         self._round_deduped = all(r_.get("deduped") for r_ in results) if results else False
         ks = [r_["keys"] for r_ in results if r_.get("keys") is not None and r_["keys"].num_rows]
@@ -789,9 +811,9 @@ class CrawlEngine:
                 for parts in per_actor:
                     p = parts.pop(0)
                     if "ref" in p:
-                        self.spill.register_ref(p["ref"], p["rows"])
+                        self.spill.register_ref(p["ref"], p["rows"], hist=p.get("hist"))
                     else:
-                        self.spill.register_part(p["path"], p["rows"])
+                        self.spill.register_part(p["path"], p["rows"], hist=p.get("hist"))
                     enq += p["rows"]
                     if parts:
                         nxt.append(parts)
@@ -799,7 +821,9 @@ class CrawlEngine:
             self._last_enqueued = enq
             ph["register"] = _time.perf_counter() - s
             s = _time.perf_counter()
-            ph["rebalance_moves"] = float(self._rebalance_buckets(agg_rows))
+            # skip the estimate rebalance when the next round will
+            # prebalance slice-exact (all pending parts carry hists)
+            ph["rebalance_moves"] = 0.0 if self.spill.hists_complete() else float(self._rebalance_buckets(agg_rows))
             ph["rebalance"] = _time.perf_counter() - s
             self._last_phases = ph
             return None
@@ -813,7 +837,7 @@ class CrawlEngine:
         s = _time.perf_counter()
         if self._admit_bucket_rows is not None:
             agg_rows += self._admit_bucket_rows
-        ph["rebalance_moves"] = float(self._rebalance_buckets(agg_rows))
+        ph["rebalance_moves"] = 0.0 if self.spill.hists_complete() else float(self._rebalance_buckets(agg_rows))
         ph["rebalance"] = _time.perf_counter() - s
         self._last_phases = ph
         return None
@@ -927,9 +951,9 @@ class CrawlEngine:
             for parts in per_actor:
                 p = parts.pop(0)
                 if "ref" in p:
-                    self.spill.register_ref(p["ref"], p["rows"])
+                    self.spill.register_ref(p["ref"], p["rows"], hist=p.get("hist"))
                 else:
-                    self.spill.register_part(p["path"], p["rows"])
+                    self.spill.register_part(p["path"], p["rows"], hist=p.get("hist"))
                 if parts:
                     nxt.append(parts)
             per_actor = nxt

@@ -55,7 +55,18 @@ class FrontierSpill:
         # capped trim whole parts) and restore granularity; default:
         # a quarter of the active limit, capped at 64k rows
         self.part_rows = part_rows or max(1, min(65536, queue_items_limit // 4))
-        self.parts: list[dict] = []  # {path, rows, part_id} FIFO (oldest first)
+        self.parts: list[dict] = []  # {path, rows, part_id[, hist]} FIFO (oldest first)
+        # slice-exact prebalancing (engine): parts may carry a
+        # per-chunk host_bucket histogram ("hist", np.int64 array of
+        # len num_buckets).  take_active() sums the hists of the parts
+        # it activates into last_active_hist — the EXACT per-bucket
+        # load of the round about to run — so the engine can rebalance
+        # the bucket->actor LUT against the real capped slice instead
+        # of a full-frontier estimate (which mispredicts whenever
+        # queue_items_limit cuts a wave).  num_buckets is set by the
+        # engine; None disables hist computation in append_table.
+        self.num_buckets: int | None = None
+        self.last_active_hist = None
         # part files consumed by take_active(): they must outlive the
         # checkpoints that reference them (crash-resume re-reads them),
         # so deletion is deferred to gc_consumed()
@@ -99,16 +110,29 @@ class FrontierSpill:
                 table = table.filter(pa.array(fresh))
             if table.num_rows == 0:
                 return
+        hb_all = None
+        if self.num_buckets and "host_bucket" in table.column_names:
+            import numpy as np
+
+            hb_all = table["host_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         for off in range(0, table.num_rows, self.part_rows):
             chunk = table.slice(off, self.part_rows)
+            hist = None
+            if hb_all is not None:
+                import numpy as np
+
+                hist = np.bincount(hb_all[off : off + self.part_rows], minlength=self.num_buckets)
             if self.plasma:
                 import ray
 
-                self.parts.append({"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows, "part_id": self._next_part})
+                part = {"ref": ray.put(chunk.combine_chunks()), "rows": chunk.num_rows, "part_id": self._next_part}
             else:
                 path = os.path.join(self.root, f"part-{self._next_part:06d}.parquet")
                 pq.write_table(chunk, path, compression="zstd")
-                self.parts.append({"path": path, "rows": chunk.num_rows, "part_id": self._next_part})
+                part = {"path": path, "rows": chunk.num_rows, "part_id": self._next_part}
+            if hist is not None:
+                part["hist"] = hist
+            self.parts.append(part)
             self._next_part += 1
         self._enforce()
 
@@ -128,21 +152,28 @@ class FrontierSpill:
                 except OSError:
                     pass
 
-    def register_part(self, path: str, rows: int) -> None:
+    def register_part(self, path: str, rows: int, hist=None) -> None:
         """Adopt a part file written elsewhere (e.g. by a fetch actor
-        in relaxed-order mode)."""
+        in relaxed-order mode).  ``hist`` is the part's optional
+        per-bucket row histogram (see class docstring note)."""
         if rows <= 0:
             return
-        self.parts.append({"path": path, "rows": rows, "part_id": self._next_part})
+        part = {"path": path, "rows": rows, "part_id": self._next_part}
+        if hist is not None:
+            part["hist"] = hist
+        self.parts.append(part)
         self._next_part += 1
         self._enforce()
 
-    def register_ref(self, ref, rows: int) -> None:
+    def register_ref(self, ref, rows: int, hist=None) -> None:
         """Adopt a plasma part (Ray ObjectRef of a frontier-schema
         Arrow table) written by a fetch actor in plasma mode."""
         if rows <= 0:
             return
-        self.parts.append({"ref": ref, "rows": rows, "part_id": self._next_part})
+        part = {"ref": ref, "rows": rows, "part_id": self._next_part}
+        if hist is not None:
+            part["hist"] = hist
+        self.parts.append(part)
         self._next_part += 1
         self._enforce()
 
@@ -153,10 +184,18 @@ class FrontierSpill:
         a plasma ObjectRef (plasma mode)."""
         limit_rows = limit_rows or self.limit
         items, rows = [], 0
+        hists: list | None = []
         while self.parts and (not items or rows + self.parts[0]["rows"] <= limit_rows):
             p = self.parts.pop(0)
             items.append(p["path"] if "path" in p else p["ref"])
             rows += p["rows"]
+            if hists is not None and p.get("hist") is not None:
+                hists.append(p["hist"])
+            else:
+                hists = None  # any hist-less part -> slice load unknown
+        # exact per-bucket load of THIS active slice (None when any
+        # part predates hist emission, e.g. checkpoint-restored parts)
+        self.last_active_hist = sum(hists) if hists else None
         self.consumed.extend(i for i in items if isinstance(i, str))
         return items, rows
 
@@ -181,6 +220,13 @@ class FrontierSpill:
         self.consumed = keep
         return removed
 
+    def hists_complete(self) -> bool:
+        """True when every pending part carries a bucket histogram —
+        i.e. the next take_active() will produce a slice-exact
+        last_active_hist and the engine can skip its estimate-based
+        end-of-round rebalance."""
+        return bool(self.parts) and all(p.get("hist") is not None for p in self.parts)
+
     def total_rows(self) -> int:
         return sum(p["rows"] for p in self.parts)
 
@@ -191,7 +237,9 @@ class FrontierSpill:
     def state(self) -> dict:
         if any("ref" in p for p in self.parts):
             raise ValueError("plasma spill parts are not checkpointable; run with cfg.checkpoint=True to keep parquet parts")
-        st = {"parts": self.parts, "next_part": self._next_part}
+        # hist arrays are a perf hint, not state: drop from the JSON
+        # manifest (restored parts fall back to full-frontier agg)
+        st = {"parts": [{k: v for k, v in p.items() if k != "hist"} for p in self.parts], "next_part": self._next_part}
         if self.adapter == "uniq":
             st["pushed"] = sorted(self._pushed)
         return st
