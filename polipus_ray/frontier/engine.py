@@ -696,12 +696,18 @@ class CrawlEngine:
         # the driver and put as one more plasma part; ref parts go to
         # the actors untouched — the frontier is never materialized on
         # the driver in steady state.
+        hists = self.spill.last_active_hists or [None] * len(active_paths)
+        if len(hists) != len(active_paths):  # defensive: caller bypassed take_active
+            hists = [None] * len(active_paths)
         part_refs = [x for x in active_paths if not isinstance(x, str)]
+        part_hists = [h for x, h in zip(active_paths, hists) if not isinstance(x, str)]
         disk = [x for x in active_paths if isinstance(x, str)]
         if disk:
             t = pa.concat_tables([pq.read_table(p) for p in disk])
             if t.num_rows:
                 part_refs.append(ray.put(t))
+                dh = [h for x, h in zip(active_paths, hists) if isinstance(x, str)]
+                part_hists.append(sum(dh) if all(h is not None for h in dh) else None)
         ph["read_frontier"] = _time.perf_counter() - s
         s = _time.perf_counter()
         actors = self._ensure_fetch_pool()
@@ -718,14 +724,30 @@ class CrawlEngine:
             ph["prebalance_moves"] = float(self._rebalance_buckets(self.spill.last_active_hist))
             ph["prebalance"] = _time.perf_counter() - s
             s = _time.perf_counter()
-        # every actor reads the shared plasma parts zero-copy and
-        # filters to its own buckets (select_mine) — the driver never
-        # take()s + serializes per-actor sub-tables
+        # hist-based part routing: each part goes ONLY to the actors
+        # the LUT says own rows in it (links are mostly same-host, so
+        # a producing actor's chunks route largely back to itself) —
+        # per-actor transfer + select scan drop from O(frontier) to
+        # O(own share), and on a multi-node cluster the round's
+        # frontier is no longer a W-way full-object broadcast (ADVICE
+        # r3).  Parts without a hist fan out to every actor (exactly
+        # the old behavior); per-actor part order is preserved, so the
+        # selected rows/order are byte-identical either way (a skipped
+        # part provably holds zero of that actor's rows).
+        lut = self._bucket_lut
+        owners = [None if h is None else set(np.unique(lut[np.flatnonzero(h)]).tolist()) for h in part_hists]
+        fan = [len(o) if o is not None else W for o in owners]
+        if fan:
+            ph["route_fanout_mean"] = float(sum(fan) / len(fan))
+        # actors read their parts zero-copy and filter to their own
+        # buckets (select_mine) — the driver never take()s/serializes
+        # per-actor sub-tables
         refs = []
         ref_actors = []
         for a in range(W):
+            mine = [p for p, o in zip(part_refs, owners) if o is None or a in o]
             spill_path = os.path.join(self.spill.root, f"actor-r{r}-a{a}.parquet")
-            refs.append(actors[a].run_round_batch.remote(part_refs, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a, True))
+            refs.append(actors[a].run_round_batch.remote(mine, r, now, os.path.join(round_dir, f"part-{a}.parquet"), spill_path, a, True))
             ref_actors.append(a)
         ph["scatter"] = _time.perf_counter() - s
         s = _time.perf_counter()

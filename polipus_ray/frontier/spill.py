@@ -67,6 +67,7 @@ class FrontierSpill:
         # engine; None disables hist computation in append_table.
         self.num_buckets: int | None = None
         self.last_active_hist = None
+        self.last_active_hists: list | None = None
         # part files consumed by take_active(): they must outlive the
         # checkpoints that reference them (crash-resume re-reads them),
         # so deletion is deferred to gc_consumed()
@@ -184,18 +185,19 @@ class FrontierSpill:
         a plasma ObjectRef (plasma mode)."""
         limit_rows = limit_rows or self.limit
         items, rows = [], 0
-        hists: list | None = []
+        hists: list = []
         while self.parts and (not items or rows + self.parts[0]["rows"] <= limit_rows):
             p = self.parts.pop(0)
             items.append(p["path"] if "path" in p else p["ref"])
             rows += p["rows"]
-            if hists is not None and p.get("hist") is not None:
-                hists.append(p["hist"])
-            else:
-                hists = None  # any hist-less part -> slice load unknown
-        # exact per-bucket load of THIS active slice (None when any
-        # part predates hist emission, e.g. checkpoint-restored parts)
-        self.last_active_hist = sum(hists) if hists else None
+            hists.append(p.get("hist"))
+        # per-part histograms aligned with items (entries may be None):
+        # the engine routes each part only to the actors owning rows in
+        # it.  last_active_hist = exact per-bucket load of THIS slice
+        # (None when any part predates hist emission, e.g. restored
+        # from a checkpoint manifest).
+        self.last_active_hists = hists
+        self.last_active_hist = sum(h for h in hists if h is not None) if hists and all(h is not None for h in hists) else None
         self.consumed.extend(i for i in items if isinstance(i, str))
         return items, rows
 
