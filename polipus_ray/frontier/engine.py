@@ -213,12 +213,16 @@ class CrawlEngine:
         # Ray objects instead of parquet files — no lz4 encode/decode,
         # no file IO, zero-copy actor reads.  Checkpointable runs and
         # the dataset scheduler (ray.data.read_parquet input) keep
-        # parquet parts.  SINGLE-NODE ONLY (ADVICE r3): every actor
-        # ray.get's all part refs and selects its own rows, which is
-        # zero-copy on one node but a W-way full-frontier transfer per
-        # round across nodes (and caps frontier size at object-store
-        # size instead of disk) — multi-node clusters fall back to
-        # parquet parts until locality-aware part routing exists.
+        # parquet parts.  Locality: parts are ROUTED by their bucket
+        # histograms (see _fetch_store_pool), and a part's rows are
+        # mostly links of pages its producing actor fetched (same-host
+        # links), so most parts route back to their producer — on a
+        # multi-node cluster the object already lives on the consuming
+        # node and the old W-way full-frontier broadcast (ADVICE r3)
+        # does not occur.  The mode still gates on _single_node()
+        # because multi-node plasma lifetimes/spilling are untested in
+        # this sandbox; lifting the gate is a measurement task, not a
+        # design change.
         self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool" and _single_node())
         self.pool = pool or SeenShardPool(
             num_shards=cfg.resolved_num_seen_shards(),
