@@ -88,3 +88,44 @@ def test_state_roundtrip(tmp_path):
     sp2 = FrontierSpill(str(tmp_path), adapter=None, queue_items_limit=10)
     sp2.load_state(st)
     assert sp2.total_rows() == 3 and sp2.parts == sp.parts
+
+
+def test_part_hists_and_slice_exact_active_hist(tmp_path):
+    """Per-part bucket histograms power the engine's slice-exact LUT
+    prebalance and part routing (engine._fetch_store_pool): append_table
+    computes them when num_buckets is set, take_active sums exactly the
+    ACTIVATED slice, and any hist-less part degrades the sum to None
+    (fall back to the full-frontier estimate) without breaking routing
+    (hist-less parts fan out to every actor)."""
+    import numpy as np
+
+    sp = FrontierSpill(str(tmp_path), adapter=None, queue_items_limit=10)
+    sp.num_buckets = 4
+    for i in range(3):
+        sp.append_table(pa.table({"seq": pa.array([i, i, i], pa.int64()), "host_bucket": pa.array([i % 4, (i + 1) % 4, i % 4], pa.int32())}))
+    assert sp.hists_complete()
+    _, rows = sp.take_active(6)  # activates the first TWO parts only
+    assert rows == 6
+    # exact histogram of the activated slice: parts 0 and 1
+    exp = np.bincount([0, 1, 0, 1, 2, 1], minlength=4)
+    assert sp.last_active_hist is not None and (sp.last_active_hist == exp).all()
+    # (parts are split at part_rows=limit//4=2 -> the 6-row slice is 4 parts)
+    assert sp.last_active_hists is not None and len(sp.last_active_hists) == 4
+    assert all(h is not None for h in sp.last_active_hists)
+    # a part registered WITHOUT a hist poisons only the slice it is in
+    sp.append_table(pa.table({"seq": pa.array([9], pa.int64()), "host_bucket": pa.array([3], pa.int32())}))
+    sp.register_part(str(tmp_path / "ext.parquet"), rows=2)  # no hist
+    assert not sp.hists_complete()
+    _, rows2 = sp.take_active(100)
+    assert rows2 == 6
+    assert sp.last_active_hist is None  # unknown slice load -> estimate path
+    assert sp.last_active_hists[-1] is None  # routing fans that part out
+    # checkpoint manifest stays JSON-serializable: hist arrays stripped
+    import json
+
+    sp2 = FrontierSpill(str(tmp_path / "s2"), adapter=None, queue_items_limit=10)
+    sp2.num_buckets = 4
+    sp2.append_table(pa.table({"seq": pa.array([1], pa.int64()), "host_bucket": pa.array([2], pa.int32())}))
+    st = sp2.state()
+    json.dumps(st)
+    assert all("hist" not in p for p in st["parts"])
