@@ -17,14 +17,21 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
-    """(ray, started_here): shut down only sessions we started."""
+    """(ray, started_here): shut down only sessions we started.
+
+    Address comes from $RAY_ADDRESS so the CLI is `ray job submit`
+    compatible: inside a job the supervisor sets RAY_ADDRESS to the
+    cluster and we attach to it; standalone (or with RAY_ADDRESS=local,
+    as in the test sandbox) we start a fresh local instance."""
+    import os
+
     import ray
 
     started = False
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
+        kwargs = {"address": os.environ.get("RAY_ADDRESS", "local"), "include_dashboard": False}
+        if num_cpus and kwargs["address"] == "local":
+            kwargs["num_cpus"] = num_cpus  # sizing applies only to an instance we own
         ray.init(**kwargs)
         started = True
     return ray, started
