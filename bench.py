@@ -125,11 +125,33 @@ def bench_ops() -> dict:
     return out
 
 
+def _ray_init_kwargs(num_cpus: int) -> dict:
+    """Local-mode ray.init kwargs for the bench.  The object store is
+    sized to half the node's RAM (env GRAFT_OBJ_STORE overrides, "0"
+    disables = Ray default): the 7.2M-page web broadcast (~11 GB zstd
+    parquet, larger as Arrow) plus per-round plasma frontier parts
+    exceed Ray's default ~30%-of-RAM store, and the resulting
+    eviction/spill stalls measured 1.3-3.9x on interleaved A/B runs
+    (see BASELINE.md round-4 session 3).  On a real cluster this is
+    the per-node object-store provisioning knob."""
+    kw = {"address": "local", "num_cpus": num_cpus, "include_dashboard": False}
+    obj = os.environ.get("GRAFT_OBJ_STORE")
+    if obj is None:
+        try:
+            total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            kw["object_store_memory"] = int(total * 0.5)
+        except (ValueError, OSError):
+            pass
+    elif float(obj) > 0:
+        kw["object_store_memory"] = int(float(obj))
+    return kw
+
+
 def run_once() -> dict:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        ray.init(**_ray_init_kwargs(NUM_CPUS))
     world = ensure_world()
     # warm page cache (untimed)
     for f in glob.glob(os.path.join(world, "web", "**", "*.parquet"), recursive=True):
@@ -206,7 +228,7 @@ def run_scaling() -> dict:
     # pre-build world once so both levels time pure crawl
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.init(**_ray_init_kwargs(NUM_CPUS))
     ensure_world()
     ray.shutdown()
 
