@@ -650,16 +650,17 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
         bm = emb_matrix(batch["embedding"])
         bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
         bids = batch["vec_id"].to_numpy()
-        A: list[int] = []
-        B: list[int] = []
+        A: list[np.ndarray] = []
+        B: list[np.ndarray] = []
         for r in block_refs:
             aid, full = ray.get(r)  # zero-copy plasma read, one block at a time
             sims = bm @ full.T
             ii, jj = np.nonzero(sims >= threshold)
             sel = aid[jj] > bids[ii]
-            A.extend(int(x) for x in bids[ii[sel]])
-            B.extend(int(x) for x in aid[jj[sel]])
-        return pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
+            A.append(bids[ii[sel]])
+            B.append(aid[jj[sel]])
+        cat = lambda parts: np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return pa.table({"a": pa.array(cat(A), pa.int64()), "b": pa.array(cat(B), pa.int64())})
 
     import ray.data as rd
 
@@ -694,15 +695,16 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
         M = emb_matrix(batch["embedding"])
         bits = (M @ R) >= 0  # (n, nplanes)
         ids = batch["vec_id"].to_numpy()
-        band_id, band_key, doc = [], [], []
-        for bi in range(bands):
-            chunk = bits[:, bi * band_bits : (bi + 1) * band_bits].astype(np.uint64)
-            keys = (chunk * weights[None, :]).sum(axis=1)
-            band_id.extend([bi] * len(ids))
-            band_key.extend(int(k) for k in keys)
-            doc.extend(int(i) for i in ids)
+        n = len(ids)
+        # (n, bands, band_bits) @ weights -> (n, bands) keys, flattened
+        # band-major to match the exploded layout (no per-row Python)
+        keys = bits.reshape(n, bands, band_bits).astype(np.uint64) @ weights
         return pa.table(
-            {"band_id": pa.array(band_id, pa.int32()), "band_key": pa.array(band_key, pa.int64()), "doc_id": pa.array(doc, pa.int64())}
+            {
+                "band_id": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "band_key": pa.array(keys.T.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(np.tile(ids, bands)),
+            }
         )
 
     def packed_vecs(batch: pa.Table) -> pa.Table:
@@ -717,11 +719,13 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
     j = j.join(vecs, join_type="inner", num_partitions=nparts, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        keep = []
-        for sa, sb in zip(batch["sig"].to_pylist(), batch["sig_b"].to_pylist()):
-            va = np.frombuffer(sa, dtype=np.float64)
-            vb = np.frombuffer(sb, dtype=np.float64)
-            keep.append(float(va @ vb) >= threshold)
+        if batch.num_rows == 0:
+            return batch.select(["a", "b"])
+        # fixed-width packed float64 sigs: one frombuffer per column,
+        # then a vectorized row-wise dot (no per-pair Python)
+        A = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype=np.float64).reshape(batch.num_rows, -1)
+        B = np.frombuffer(b"".join(batch["sig_b"].to_pylist()), dtype=np.float64).reshape(batch.num_rows, -1)
+        keep = np.einsum("ij,ij->i", A, B) >= threshold
         return batch.filter(pa.array(keep)).select(["a", "b"])
 
     return verify_sorted(j.map_batches(verify, batch_format="pyarrow"))
