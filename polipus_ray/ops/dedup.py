@@ -549,20 +549,23 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, table=None):
     ranges = band_ranges(max_hamming)
 
     def sig_stage(batch: pa.Table) -> pa.Table:
-        band_id, band_val, doc, sh = [], [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            s = simhash64(text)
-            for bi, (off, width) in enumerate(ranges):
-                band_id.append(bi)
-                band_val.append((s >> off) & ((1 << width) - 1))
-                doc.append(did)
-                sh.append(s - (1 << 64) if s >= 1 << 63 else s)
+        # per-doc simhash stays a Python pass (word hashing); the
+        # band explode below is vectorized numpy over the doc axis
+        u = np.fromiter(
+            (simhash64(t) for t in batch["text"].to_pylist()), dtype=np.uint64, count=batch.num_rows
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        nb = len(ranges)
+        band_val = np.concatenate(
+            [((u >> np.uint64(off)) & np.uint64((1 << width) - 1)).astype(np.int64) for off, width in ranges]
+        ) if n else np.empty(0, np.int64)
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int32()),
+                "band_id": pa.array(np.repeat(np.arange(nb, dtype=np.int32), n)),
                 "band_val": pa.array(band_val, pa.int64()),
-                "doc_id": pa.array(doc, pa.int64()),
-                "simhash": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, nb)),
+                "simhash": pa.array(np.tile(u.view(np.int64), nb)),
             }
         )
 

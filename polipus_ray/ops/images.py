@@ -90,20 +90,22 @@ def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
     ranges = band_ranges(max_hamming)
 
     def explode(batch: pa.Table) -> pa.Table:
-        band_id, band_val, ids, ph = [], [], [], []
-        for did, p in zip(batch[id_col].to_pylist(), batch["phash"].to_pylist()):
-            u = p + (1 << 64) if p < 0 else p
-            for bi, (off, width) in enumerate(ranges):
-                band_id.append(bi)
-                band_val.append((u >> off) & ((1 << width) - 1))
-                ids.append(did)
-                ph.append(p)
+        import numpy as np
+
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ph.view(np.uint64)
+        n = len(u)
+        nb = len(ranges)
+        band_val = np.concatenate(
+            [((u >> np.uint64(off)) & np.uint64((1 << width) - 1)).astype(np.int64) for off, width in ranges]
+        ) if n else np.empty(0, np.int64)
+        tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), nb))
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int32()),
+                "band_id": pa.array(np.repeat(np.arange(nb, dtype=np.int32), n)),
                 "band_val": pa.array(band_val, pa.int64()),
-                "id": pa.array(ids),
-                "phash": pa.array(ph, pa.int64()),
+                "id": batch[id_col].take(tile_idx),
+                "phash": pa.array(np.tile(ph, nb), pa.int64()),
             }
         )
 
