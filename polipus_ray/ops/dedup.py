@@ -522,20 +522,47 @@ def verify_sorted(ds):
     return ds.sort(["a", "b"])
 
 
-def simhash64(text: str) -> int:
-    """Word-unigram 64-bit SimHash (weights 1, md5 word hashes),
-    vectorized: one (W, 64) bit matrix, column-summed."""
-    ws = text.lower().split()
-    if not ws:
-        return 0
-    hs = np.array([_h64_cached(w) for w in ws], dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    acc = (2 * bits - 1).sum(axis=0)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+def simhash64_batch(texts) -> np.ndarray:
+    """Word-unigram 64-bit SimHash (weights 1, md5 word hashes) over a
+    whole batch: ONE flat word-hash array for all docs, per-doc bit
+    sums via ``np.add.reduceat`` over doc boundaries — no per-doc
+    numpy allocation.  Bit i is set iff the doc's +1/-1 column sum is
+    > 0, identical to the scalar definition."""
+    words_per_doc = [t.lower().split() for t in texts]
+    counts = np.fromiter((len(w) for w in words_per_doc), np.int64, len(words_per_doc))
+    out = np.zeros(len(texts), np.uint64)
+    flat = [w for ws in words_per_doc for w in ws]
+    if not flat:
+        return out
+    hs = np.fromiter((_h64_cached(w) for w in flat), np.uint64, len(flat))
+    # bit i of each hash via unpackbits on the little-endian byte view
+    # (x86/ARM little-endian assumed; parity pinned by test_simhash_batch)
+    b8 = hs.view(np.uint8).reshape(-1, 8)
+    nz = np.flatnonzero(counts)
+    cnz = counts[nz]
+    ends = np.cumsum(cnz)
+    offs = ends - cnz
+    shifts = np.arange(64, dtype=np.uint64)
+    parts = []
+    CH = 8192  # words per chunk: the (CH, 64) uint8 bits stay cache-resident
+    start = 0
+    m = len(nz)
+    while start < m:
+        end = int(np.searchsorted(ends, offs[start] + CH, side="left")) + 1
+        end = min(max(end, start + 1), m)
+        lo, hi = int(offs[start]), int(ends[end - 1])
+        bits = np.unpackbits(b8[lo:hi], axis=1, bitorder="little")
+        bitsum = np.add.reduceat(bits, offs[start:end] - lo, axis=0, dtype=np.int64)
+        acc = 2 * bitsum - cnz[start:end, None]
+        parts.append(((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64))
+        start = end
+    out[nz] = np.concatenate(parts)
     return out
+
+
+def simhash64(text: str) -> int:
+    """Scalar wrapper over :func:`simhash64_batch` (shared kernel)."""
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3, table=None):
@@ -549,11 +576,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, table=None):
     ranges = band_ranges(max_hamming)
 
     def sig_stage(batch: pa.Table) -> pa.Table:
-        # per-doc simhash stays a Python pass (word hashing); the
+        # batch-vectorized simhash (one flat word-hash pass); the
         # band explode below is vectorized numpy over the doc axis
-        u = np.fromiter(
-            (simhash64(t) for t in batch["text"].to_pylist()), dtype=np.uint64, count=batch.num_rows
-        )
+        u = simhash64_batch(batch["text"].to_pylist())
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(u)
         nb = len(ranges)

@@ -84,6 +84,42 @@ def test_simhash_pairs(ray_session):
     assert (0, 1000) in got
 
 
+def test_simhash_batch_matches_scalar_definition():
+    """Pin the chunked unpackbits batch kernel (incl. the little-endian
+    byte-view assumption) against the scalar +1/-1 column-sum
+    definition, across chunk boundaries and empty docs."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from polipus_ray.ops.dedup import simhash64_batch
+
+    def scalar(text):
+        ws = text.lower().split()
+        if not ws:
+            return 0
+        hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in ws]
+        out = 0
+        for i in range(64):
+            acc = sum(1 if (h >> i) & 1 else -1 for h in hs)
+            if acc > 0:
+                out |= 1 << i
+        return out
+
+    rng = random.Random(11)
+    vocab = ["the", "cat", "dog"] + [str(i) for i in range(40)]
+    texts = (
+        ["", "single"]
+        + [" ".join(rng.choices(vocab, k=rng.randint(1, 300))) for _ in range(200)]
+        + [" ".join(rng.choices(vocab, k=9000))]  # one doc wider than the chunk
+        + [""]
+    )
+    got = simhash64_batch(texts)
+    want = np.array([scalar(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+
+
 def test_ngram_jaccard_pairs(ray_session):
     from polipus_ray.ops.dedup import ngram_jaccard_pairs
 
