@@ -26,16 +26,20 @@ _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 
 def _token_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    # n_tokens matches DuckDB len(string_split(text, ' '))
-    n_tokens = [len(t.split(" ")) for t in texts]
-    n_bpe = [len(_BPE_RE.findall(t)) for t in texts]
+    # fully Arrow-native (RE2 kernels, zero Python rows): counts are
+    # pinned equal to the Python-re definitions by test_token_counts
+    import pyarrow.compute as pc
+
+    col = batch["text"]
+    # n_tokens matches DuckDB len(string_split(text, ' ')) == spaces+1
+    n_tokens = pc.add(pc.count_substring(col, " "), 1)
+    n_bpe = pc.count_substring_regex(col, _BPE_RE.pattern)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_tokens": pa.array(n_tokens, pa.int64()),
-            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
-            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(col), pa.int64()),
         }
     )
 
@@ -49,16 +53,16 @@ def token_counts(sf_dir: str):
 
 
 def _quality_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    n_tokens = [len(t.split(" ")) for t in texts]
-    stop = [len(_STOP_RE.findall(t.lower())) for t in texts]
-    punct = [len(_PUNCT_RE.findall(t)) for t in texts]
+    # fully Arrow-native (RE2 kernels over the lowered column)
+    import pyarrow.compute as pc
+
+    col = batch["text"]
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_tokens": pa.array(n_tokens, pa.int64()),
-            "stop_cnt": pa.array(stop, pa.int64()),
-            "punct_cnt": pa.array(punct, pa.int64()),
+            "n_tokens": pc.cast(pc.add(pc.count_substring(col, " "), 1), pa.int64()),
+            "stop_cnt": pc.cast(pc.count_substring_regex(pc.utf8_lower(col), _STOP_RE.pattern), pa.int64()),
+            "punct_cnt": pc.cast(pc.count_substring_regex(col, _PUNCT_RE.pattern), pa.int64()),
         }
     )
 
