@@ -351,3 +351,77 @@ def test_hamming_hot_bucket_bounded_split(ray_session):
     nch = (50_000 + _PAIR_CHUNK - 1) // _PAIR_CHUNK
     assert rows.num_rows == nch * (nch + 1) // 2
     assert max(len(x) for x in rows["ids_a"].to_pylist()) <= _PAIR_CHUNK * 8
+
+
+def test_md5vec_matches_hashlib():
+    """The vectorized MD5 kernel is bit-identical to hashlib across
+    message lengths 0..200 (1, 2 and 3+ block messages) — md5 is the
+    shared Python/SQL hash, so this parity IS oracle parity."""
+    import random
+
+    from polipus_ray.ops.md5vec import md5_u64_fixed, md5_u64_strs
+
+    rng = np.random.default_rng(7)
+    for length in (1, 5, 8, 31, 55):
+        msgs = rng.integers(0, 256, size=(64, length), dtype=np.uint8)
+        want = np.array(
+            [int.from_bytes(hashlib.md5(m.tobytes()).digest()[:8], "big") for m in msgs], np.uint64
+        )
+        assert (md5_u64_fixed(msgs) == want).all()
+    r = random.Random(11)
+    strs = [
+        "".join(r.choices("abcdefgh _0123456789", k=k))
+        for k in (0, 1, 54, 55, 56, 63, 64, 100, 119, 120, 128, 200)
+        for _ in range(8)
+    ]
+    want = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in strs], np.uint64)
+    assert (md5_u64_strs(strs) == want).all()
+
+
+def test_shingles_batch_matches_scalar():
+    """Batched byte-window shingling == the scalar per-gram path,
+    including short docs (padded), empty text, repeated grams and the
+    non-ASCII per-doc fallback."""
+    from polipus_ray.ops.dedup import _minhash_params, _minhash_sig, _minhash_sig_many, _shingles, _shingles_batch
+
+    rng = np.random.default_rng(5)
+    vocab = "abcdefg hij"
+    texts = [
+        "",
+        "a",
+        "abcd",
+        "aaaaa",
+        " " * 7,
+        "ABCdé éé",  # non-ASCII: falls back to the scalar path in-batch
+        "héllo wörld" * 10,
+    ] + ["".join(rng.choice(list(vocab), size=int(rng.integers(1, 400)))) for _ in range(50)]
+    got = _shingles_batch(texts)
+    for t, g in zip(texts, got):
+        assert (g == _shingles(t)).all(), repr(t[:20])
+    sets = [s for s in got if len(s)]
+    a, b = _minhash_params(32)
+    batched = _minhash_sig_many(sets, a, b)
+    for k, s in enumerate(sets):
+        assert (batched[k] == _minhash_sig(s, a, b)).all()
+
+
+def test_gram_hashes_batch_matches_scalar():
+    """Batched word-n-gram hashing (byte windows of the normalized
+    doc, one vectorized md5 pass) == the scalar join-per-gram path,
+    including empty/short docs and the non-ASCII fallback."""
+    from polipus_ray.ops.dedup import _gram_hashes, _gram_hashes_batch
+
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta", "x", "longtokenword"]
+    texts = [
+        "",
+        "one",
+        "one two",
+        "one two three four",
+        "  spaced   out  tokens ",
+        "héllo wörld foo bar baz",  # non-ASCII: scalar fallback in-batch
+    ] + [" ".join(rng.choice(words, size=int(rng.integers(1, 60)))) for _ in range(40)]
+    for n in (1, 3, 5):
+        got = _gram_hashes_batch(texts, n)
+        for t, g in zip(texts, got):
+            assert (g == _gram_hashes(t, n)).all(), (n, repr(t[:20]))
