@@ -78,20 +78,16 @@ class _Bucket:
     __slots__ = ("t", "urls", "codes", "redirects", "uh_sorted", "perm", "is_redir")
 
     def __init__(self, t: pa.Table):
-        import hashlib as _hl
-
         import pyarrow.compute as pc
+
+        from ..ops.md5vec import md5_u64_strs
 
         self.t = t
         self.urls = t["url"]
         if t.num_rows:
             self.codes = t["code"].to_numpy()
             self.redirects = t["redirect_to"].to_pylist()
-            uh = np.fromiter(
-                (int.from_bytes(_hl.md5(u.encode("utf-8", "surrogatepass")).digest()[:8], "big") for u in t["url"].to_pylist()),
-                dtype=np.uint64,
-                count=t.num_rows,
-            )
+            uh = md5_u64_strs(t["url"].to_pylist(), errors="surrogatepass")
             self.perm = np.argsort(uh, kind="stable")
             self.uh_sorted = uh[self.perm]
             rt_ok = np.asarray(pc.fill_null(pc.not_equal(t["redirect_to"], ""), False).to_numpy(zero_copy_only=False), bool)
@@ -250,17 +246,15 @@ class Fetcher:
         batch per touched bucket, Arrow-vectorized string verify (the
         hop-0 fast-path machinery, reusable for redirect-hop waves).
         Returns each url's row within its bucket table, -1 on miss."""
-        import hashlib as _hl
-
         import pyarrow.compute as pc
+
+        from ..ops.md5vec import md5_u64_strs
 
         n = len(urls)
         row = np.full(n, -1, np.int64)
         if not n:
             return row
-        uh = np.frombuffer(
-            b"".join(_hl.md5(u.encode("utf-8", "surrogatepass")).digest()[:8] for u in urls), dtype=">u8"
-        ).astype(np.uint64)
+        uh = md5_u64_strs(urls, errors="surrogatepass")
         for b in np.unique(bks):
             bk = self._load_bucket(int(b))
             if not len(bk.uh_sorted):
@@ -322,12 +316,15 @@ class Fetcher:
 
         import pyarrow.compute as pc
 
+        from ..ops.md5vec import md5_digest_strs
+
         cfg = self.cfg
         urls: list = batch["url"].to_pylist()
         hosts: list = batch["host"].to_pylist()
-        # one md5 per REQUESTED url (uuid / url_hash / UA+resp sampling)
-        digs = [_hl.md5(u.encode("utf-8", "surrogatepass")).digest() for u in urls]
-        req_uh = np.frombuffer(b"".join(d[:8] for d in digs), dtype=">u8").astype(np.uint64)
+        # one md5 per REQUESTED url (uuid / url_hash / UA+resp sampling),
+        # batched through the numpy-lane kernel (hashlib-identical)
+        digs = md5_digest_strs(urls, errors="surrogatepass")
+        req_uh = digs[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
 
         # --- politeness: closed-form per-host virtual clocks ---------------
         # with the batch in processing order, row k of host h gets
@@ -491,7 +488,8 @@ class Fetcher:
 
         # --- uuid / url_hash (md5 reuse when final == requested) -----------
         inc = cfg.include_query_string_in_saved_page
-        uuid_hex = [d.hex() for d in digs]
+        _hex_all = digs.tobytes().hex()
+        uuid_hex = [_hex_all[32 * j : 32 * j + 32] for j in range(n)]
         uh_signed = req_uh.view(np.int64).copy()
         redo: set[int] = set()
         if not inc:

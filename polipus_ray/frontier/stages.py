@@ -173,10 +173,9 @@ def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 1
 
 
 def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: dict | None):
-    import hashlib as _hl
-
     import pyarrow.compute as pc
 
+    from ..ops.md5vec import md5_u64_strs
     from ..urltools import strip_query
 
     aliases = set(cfg.domain_aliases)
@@ -255,15 +254,14 @@ def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: 
         _, firstpos, counts = np.unique(parent_f, return_index=True, return_counts=True)
         li = (np.arange(sel.size) - np.repeat(firstpos, counts)).astype(np.int32)
         # url_hash64: one md5 per DISTINCT url (links repeat ~3x within
-        # a share — dictionary_encode dedups at C level), digests
-        # joined then viewed as big-endian u64 (identical bit pattern
-        # to _i64(hash64(u)))
+        # a share — dictionary_encode dedups at C level), hashed by the
+        # vectorized numpy-lane md5 kernel (bit-identical to hashlib,
+        # i.e. to _i64(hash64(u)) — pinned in test_ops/test_urltools)
         ud = pc.dictionary_encode(canon_f)
         uidx = ud.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uu = ud.dictionary.to_pylist()
         hash_src = uu if inc else [strip_query(u) for u in uu]
-        digests = b"".join([_hl.md5(u.encode("utf-8", "surrogatepass")).digest() for u in hash_src])
-        urlh_u = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 16)[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64).view(np.int64)
+        urlh_u = md5_u64_strs(hash_src, errors="surrogatepass").view(np.int64)
         urlh = urlh_u[uidx]
         urls_l = canon_f.to_pylist()
         # host hashes via per-batch dictionary (few distinct hosts)

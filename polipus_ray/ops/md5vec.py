@@ -94,15 +94,25 @@ def _u64_from_state(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.byteswap().astype(np.uint64) << np.uint64(32)) | b.byteswap().astype(np.uint64)
 
 
-def md5_u64_fixed(msgs: np.ndarray) -> np.ndarray:
-    """md5(m)[:8] big-endian as uint64 for N equal-length messages.
+def _digest_from_state(a, b, c, d) -> np.ndarray:
+    """Full 16-byte digest rows: each state word serialized LE."""
+    k = len(a)
+    out = np.empty((k, 16), np.uint8)
+    for i, w in enumerate((a, b, c, d)):
+        out[:, 4 * i : 4 * i + 4] = np.ascontiguousarray(w.astype("<u4")).view(np.uint8).reshape(k, 4)
+    return out
+
+
+def md5_u64_fixed(msgs: np.ndarray, digest: bool = False) -> np.ndarray:
+    """md5(m)[:8] big-endian as uint64 for N equal-length messages
+    (or, with ``digest=True``, the full digests as an (N, 16) uint8).
 
     ``msgs``: (N, L) uint8 with L <= 55 (single-block after padding).
     This is the hot path for char n-gram shingles (L = n <= 8)."""
     n, L = msgs.shape
     if L > 55:
         raise ValueError("md5_u64_fixed handles single-block messages (L <= 55)")
-    out = np.empty(n, np.uint64)
+    out = np.empty((n, 16), np.uint8) if digest else np.empty(n, np.uint64)
     bitlen = np.frombuffer(np.uint64(8 * L).astype("<u8").tobytes(), dtype=np.uint8)
     for s0 in range(0, n, _LANE_CHUNK):
         m = msgs[s0 : s0 + _LANE_CHUNK]
@@ -114,11 +124,11 @@ def md5_u64_fixed(msgs: np.ndarray) -> np.ndarray:
         X = block.view("<u4").reshape(k, 16)
         a, b, c, d = (np.full(k, v, np.uint32) for v in _IV)
         _compress(X, a, b, c, d, np.empty(k, np.uint32), np.empty(k, np.uint32))
-        out[s0 : s0 + k] = _u64_from_state(a, b)
+        out[s0 : s0 + k] = _digest_from_state(a, b, c, d) if digest else _u64_from_state(a, b)
     return out
 
 
-def md5_u64_concat(buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+def md5_u64_concat(buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, digest: bool = False) -> np.ndarray:
     """md5(m)[:8] big-endian as uint64 for N variable-length messages
     packed back-to-back in one uint8 buffer.
 
@@ -129,7 +139,7 @@ def md5_u64_concat(buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) ->
     offsets = np.asarray(offsets, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(offsets)
-    out = np.empty(n, np.uint64)
+    out = np.empty((n, 16), np.uint8) if digest else np.empty(n, np.uint64)
     if n == 0:
         return out
     nblocks = (lengths + 9 + 63) // 64  # ceil((len + 1 + 8) / 64)
@@ -143,10 +153,10 @@ def md5_u64_concat(buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) ->
         for L in np.unique(slens):
             sel = np.flatnonzero(single & (lengths == L))
             if L == 0:
-                out[sel] = md5_u64_fixed(np.empty((len(sel), 0), np.uint8))
+                out[sel] = md5_u64_fixed(np.empty((len(sel), 0), np.uint8), digest=digest)
                 continue
             win = np.lib.stride_tricks.sliding_window_view(buf, int(L))
-            out[sel] = md5_u64_fixed(win[offsets[sel]])
+            out[sel] = md5_u64_fixed(win[offsets[sel]], digest=digest)
         if single.all():
             return out
     for nb in np.unique(nblocks[~single]):
@@ -170,17 +180,32 @@ def md5_u64_concat(buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) ->
             F, T = np.empty(m, np.uint32), np.empty(m, np.uint32)
             for bi in range(int(nb)):
                 _compress(words[:, bi, :], a, b, c, d, F, T)
-            out[sub] = _u64_from_state(a, b)
+            out[sub] = _digest_from_state(a, b, c, d) if digest else _u64_from_state(a, b)
     return out
 
 
-def md5_u64_strs(strs: list[str]) -> np.ndarray:
+def md5_u64_strs(strs: list[str], errors: str = "strict") -> np.ndarray:
     """md5(s.encode())[:8] big-endian as uint64 per string — the
-    batched equivalent of dedup's scalar ``_h64``."""
+    batched equivalent of dedup's scalar ``_h64``.  ``errors``:
+    utf-8 error handler — the crawl hashes URLs with
+    ``surrogatepass`` (urltools.hash64 parity)."""
     if not strs:
         return np.empty(0, np.uint64)
-    parts = [s.encode() for s in strs]
+    parts = [s.encode("utf-8", errors) for s in strs]
     lengths = np.fromiter((len(p) for p in parts), np.int64, len(parts))
     ends = np.cumsum(lengths)
     buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
     return md5_u64_concat(buf, ends - lengths, lengths)
+
+
+def md5_digest_strs(strs: list[str], errors: str = "strict") -> np.ndarray:
+    """Full md5 digests as an (N, 16) uint8 array — the batched
+    equivalent of ``hashlib.md5(s.encode()).digest()`` per string
+    (the crawl's page uuid, urltools.uuid_of parity)."""
+    if not strs:
+        return np.empty((0, 16), np.uint8)
+    parts = [s.encode("utf-8", errors) for s in strs]
+    lengths = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+    ends = np.cumsum(lengths)
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    return md5_u64_concat(buf, ends - lengths, lengths, digest=True)

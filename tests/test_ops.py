@@ -378,6 +378,33 @@ def test_md5vec_matches_hashlib():
     assert (md5_u64_strs(strs) == want).all()
 
 
+def test_md5vec_digest_and_surrogatepass():
+    """Full-digest mode is bit-identical to hashlib .digest(), and the
+    surrogatepass error handler matches the crawl's URL hashing
+    (urltools.hash64 / uuid_of use utf-8+surrogatepass)."""
+    import random
+
+    from polipus_ray.ops.md5vec import md5_digest_strs, md5_u64_strs
+
+    r = random.Random(23)
+    strs = [
+        "".join(r.choices("abcdefgh /:?=&.%-_0123456789é中", k=k))
+        for k in (0, 1, 7, 54, 55, 56, 63, 64, 100, 200)
+        for _ in range(6)
+    ]
+    strs.append("http://h.example/p?q=\udcff")  # lone surrogate (messy canonicalize output)
+    want16 = np.frombuffer(
+        b"".join(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest() for s in strs), np.uint8
+    ).reshape(-1, 16)
+    got16 = md5_digest_strs(strs, errors="surrogatepass")
+    assert (got16 == want16).all()
+    want64 = np.array(
+        [int.from_bytes(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big") for s in strs],
+        np.uint64,
+    )
+    assert (md5_u64_strs(strs, errors="surrogatepass") == want64).all()
+
+
 def test_shingles_batch_matches_scalar():
     """Batched byte-window shingling == the scalar per-gram path,
     including short docs (padded), empty text, repeated grams and the
