@@ -80,14 +80,14 @@ class _Bucket:
     def __init__(self, t: pa.Table):
         import pyarrow.compute as pc
 
-        from ..ops.md5vec import md5_u64_strs
+        from ..ops.md5vec import md5_u64_arrow
 
         self.t = t
         self.urls = t["url"]
         if t.num_rows:
             self.codes = t["code"].to_numpy()
             self.redirects = t["redirect_to"].to_pylist()
-            uh = md5_u64_strs(t["url"].to_pylist(), errors="surrogatepass")
+            uh = md5_u64_arrow(t["url"].combine_chunks())
             self.perm = np.argsort(uh, kind="stable")
             self.uh_sorted = uh[self.perm]
             rt_ok = np.asarray(pc.fill_null(pc.not_equal(t["redirect_to"], ""), False).to_numpy(zero_copy_only=False), bool)
@@ -316,14 +316,15 @@ class Fetcher:
 
         import pyarrow.compute as pc
 
-        from ..ops.md5vec import md5_digest_strs
+        from ..ops.md5vec import md5_digest_arrow
 
         cfg = self.cfg
         urls: list = batch["url"].to_pylist()
         hosts: list = batch["host"].to_pylist()
         # one md5 per REQUESTED url (uuid / url_hash / UA+resp sampling),
-        # batched through the numpy-lane kernel (hashlib-identical)
-        digs = md5_digest_strs(urls, errors="surrogatepass")
+        # batched through the numpy-lane kernel straight off the Arrow
+        # buffer (hashlib-identical)
+        digs = md5_digest_arrow(batch["url"])
         req_uh = digs[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
 
         # --- politeness: closed-form per-host virtual clocks ---------------

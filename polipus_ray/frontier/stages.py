@@ -71,10 +71,13 @@ def frontier_table(rows: list[dict], num_buckets: int, include_qs: bool = True) 
     return pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
 
 
-def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, follow, skip, uhash=None) -> np.ndarray:
+def _policy_mask(urls, hosts, robots: RobotsCache | None, follow, skip, uhash=None) -> np.ndarray:
     """should_be_visited? prefix (robots -> whitelist -> blacklist),
     lib/polipus.rb:375-384.  Patterns match url.path.
 
+    ``urls``/``hosts`` may be lists or Arrow string arrays (Arrow is
+    the hot path: URL strings materialize only for rule-bearing
+    hosts' rows inside allowed_mask).
     ``uhash``: optional uint64 url-hash array; with a UA LIST
     configured, each row's robots rules are matched against its
     per-request UA ``ua[uhash % len]`` (the same index the fetcher
@@ -85,6 +88,8 @@ def _policy_mask(urls: list[str], hosts: list[str], robots: RobotsCache | None, 
     if robots is not None:
         keep &= robots.allowed_mask(urls, hosts, uhash=uhash)
     if follow or skip:
+        if not isinstance(urls, list):
+            urls = urls.to_pylist()
         paths = [urlsplit(u).path for u in urls]
         if follow:
             keep &= np.fromiter((any(rx.search(p) for rx in follow) for p in paths), dtype=bool, count=n)
@@ -112,10 +117,10 @@ def make_prefetch_filter(robots_bodies: dict, cfg: CrawlConfig, pool, now: int):
         n = batch.num_rows
         if n == 0:
             return batch
-        urls = batch["url"].to_pylist()
-        hosts = batch["host"].to_pylist()
         uh = _u64col(batch["url_hash"])
-        keep = _policy_mask(urls, hosts, robots, follow, skip, uhash=uh if cfg.include_query_string_in_saved_page else None)
+        keep = _policy_mask(
+            batch["url"], batch["host"], robots, follow, skip, uhash=uh if cfg.include_query_string_in_saved_page else None
+        )
         hh = _u64col(batch["host_hash"])
         exists, ts = pool.stored_info(uh, hh)
         expired = np.zeros(n, dtype=bool) if ttl is None else (exists & (ts >= 0) & ((now - ttl) > ts))
@@ -175,7 +180,7 @@ def make_link_extractor(cfg: CrawlConfig, focus_crawl=None, num_buckets: int = 1
 def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: dict | None):
     import pyarrow.compute as pc
 
-    from ..ops.md5vec import md5_u64_strs
+    from ..ops.md5vec import md5_u64_arrow, md5_u64_strs
     from ..urltools import strip_query
 
     aliases = set(cfg.domain_aliases)
@@ -259,11 +264,14 @@ def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: 
         # i.e. to _i64(hash64(u)) — pinned in test_ops/test_urltools)
         ud = pc.dictionary_encode(canon_f)
         uidx = ud.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uu = ud.dictionary.to_pylist()
-        hash_src = uu if inc else [strip_query(u) for u in uu]
-        urlh_u = md5_u64_strs(hash_src, errors="surrogatepass").view(np.int64)
+        if inc:
+            # hash straight off the dictionary's UTF-8 buffer — no
+            # per-string Python encode (that prep cost ~3x the hashing)
+            urlh_u = md5_u64_arrow(ud.dictionary).view(np.int64)
+        else:
+            hash_src = [strip_query(u) for u in ud.dictionary.to_pylist()]
+            urlh_u = md5_u64_strs(hash_src, errors="surrogatepass").view(np.int64)
         urlh = urlh_u[uidx]
-        urls_l = canon_f.to_pylist()
         # host hashes via per-batch dictionary (few distinct hosts)
         hd = pc.dictionary_encode(host_f)
         hosts_uni = hd.dictionary.to_pylist()
@@ -287,7 +295,7 @@ def _make_link_extractor_vec(cfg: CrawlConfig, num_buckets: int, robots_bodies: 
         )
         if policy is not None and t.num_rows:
             robots, follow, skip = policy
-            keep = _policy_mask(urls_l, host_f.to_pylist(), robots, follow, skip, uhash=urlh.view(np.uint64) if inc else None)
+            keep = _policy_mask(canon_f, host_f, robots, follow, skip, uhash=urlh.view(np.uint64) if inc else None)
             t = t.filter(pa.array(keep))
         return t
 

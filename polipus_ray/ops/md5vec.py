@@ -209,3 +209,36 @@ def md5_digest_strs(strs: list[str], errors: str = "strict") -> np.ndarray:
     ends = np.cumsum(lengths)
     buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
     return md5_u64_concat(buf, ends - lengths, lengths, digest=True)
+
+
+def _arrow_bytes_view(arr):
+    """(data uint8, offsets int64) views of an Arrow string array's
+    underlying UTF-8 buffer — zero Python-object round trips.  Arrow
+    strings are valid UTF-8 by construction, so hashing the buffer is
+    bit-identical to hashing ``s.encode("utf-8")`` per value."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("md5 over Arrow buffers requires a null-free array")
+    off_dtype = np.int64 if (pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], off_dtype)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offs
+
+
+def md5_u64_arrow(arr) -> np.ndarray:
+    """md5(s)[:8] big-endian as uint64 per value of an Arrow string
+    array, hashed directly off the array's UTF-8 buffer (no per-value
+    encode/len Python calls — those cost ~3x the hashing itself)."""
+    data, offs = _arrow_bytes_view(arr)
+    return md5_u64_concat(data, offs[:-1], np.diff(offs))
+
+
+def md5_digest_arrow(arr) -> np.ndarray:
+    """Full (N, 16) uint8 md5 digests per value of an Arrow string
+    array, off the array's UTF-8 buffer."""
+    data, offs = _arrow_bytes_view(arr)
+    return md5_u64_concat(data, offs[:-1], np.diff(offs), digest=True)

@@ -159,46 +159,59 @@ class RobotsCache:
         path = path_of(url)
         return not any(r.search(path) for r in rules)
 
-    def allowed_mask(self, urls: list, hosts: list, uhash=None) -> "np.ndarray":
+    def allowed_mask(self, urls, hosts, uhash=None) -> "np.ndarray":
         """Batched ``allowed``: rows grouped by host so the rule list
         resolves once per (host, ua) — and hosts with NO matching
-        disallow rules (the common case) skip path parsing entirely.
-        ``uhash``: optional uint64 url hashes for per-request UA
-        resolution (ua_idx = hash % n_agents, fetcher parity).
-        Identical output to per-row ``allowed`` (pinned in
-        test_robots)."""
+        disallow rules (the common case) never materialize their rows
+        at all.  ``urls``/``hosts`` may be Python lists OR Arrow string
+        arrays; with Arrow input the host grouping is a C-level
+        dictionary encode and URL strings are materialized ONLY for
+        rows of rule-bearing hosts.  ``uhash``: optional uint64 url
+        hashes for per-request UA resolution (ua_idx = hash %
+        n_agents, fetcher parity).  Identical output to per-row
+        ``allowed`` (pinned in test_robots)."""
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         n = len(urls)
         keep = np.ones(n, dtype=bool)
         if n == 0:
             return keep
         nag = len(self._uas)
-        ua_idx = None
-        if nag > 1:
-            if uhash is None:
-                from .urltools import url_hash64
-
-                uhash = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
-            ua_idx = (np.asarray(uhash, dtype=np.uint64) % np.uint64(nag)).astype(np.int64)
-        groups: dict[str, list[int]] = {}
-        for i, h in enumerate(hosts):
-            g = groups.get(h)
-            if g is None:
-                groups[h] = [i]
+        ha = hosts if isinstance(hosts, (pa.Array, pa.ChunkedArray)) else pa.array(hosts, pa.string())
+        if isinstance(ha, pa.ChunkedArray):
+            ha = ha.combine_chunks()
+        urls_arrow = isinstance(urls, (pa.Array, pa.ChunkedArray))
+        ua_arr = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+        hd = pc.dictionary_encode(ha)
+        hu = hd.dictionary.to_pylist()
+        hidx = hd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uh_all = None if uhash is None else np.asarray(uhash, dtype=np.uint64)
+        for k, h in enumerate(hu):
+            per_ua = [self._rules_for(h, ui) for ui in range(nag)]
+            if not any(per_ua):
+                continue
+            rows = np.flatnonzero(hidx == k)
+            if urls_arrow:
+                u_rows = ua_arr.take(pa.array(rows)).to_pylist()
             else:
-                g.append(i)
-        for h, rows in groups.items():
-            for ui in range(nag):
-                rules = self._rules_for(h, ui)
+                u_rows = [urls[int(i)] for i in rows]
+            uai = None
+            if nag > 1:
+                if uh_all is not None:
+                    uai = (uh_all[rows] % np.uint64(nag)).astype(np.int64)
+                else:
+                    from .urltools import url_hash64
+
+                    uai = np.array([url_hash64(u) % nag for u in u_rows], dtype=np.int64)
+            for j in range(len(rows)):
+                rules = per_ua[0] if uai is None else per_ua[int(uai[j])]
                 if not rules:
                     continue
-                for i in rows:
-                    if ua_idx is not None and ua_idx[i] != ui:
-                        continue
-                    p = path_of(urls[i])
-                    if any(r.search(p) for r in rules):
-                        keep[i] = False
+                p = path_of(u_rows[j])
+                if any(r.search(p) for r in rules):
+                    keep[rows[j]] = False
         return keep
 
     def delay(self, host: str, ua_idx: int = 0) -> int | None:
