@@ -163,6 +163,7 @@ class Fetcher:
         self._extractor = None
         self._pending_cand: pa.Table | None = None
         self._pending_spill_path: str | None = None
+        self._mark_submit_t = 0.0  # profiling: time blocked in mark RPC submission
         # non-None only inside run_round_batch: mark-stored ObjectRefs
         # collected for the engine to await at the round barrier
         self._round_mark_refs: list | None = None
@@ -639,10 +640,12 @@ class Fetcher:
                 np.asarray(t["host_hash"].to_numpy(), dtype=np.int64).view(np.uint64),
                 t["fetched_at"].to_numpy(zero_copy_only=False),
             )
+            _ms = time.perf_counter()
             if self._round_mark_refs is not None and hasattr(self.pool, "mark_stored_async"):
                 self._round_mark_refs.extend(self.pool.mark_stored_async(*args))
             else:
                 self.pool.mark_stored(*args)
+            self._mark_submit_t += time.perf_counter() - _ms
         return t
 
     # -- persistent-pool round method (fetch_mode='pool') ------------------
@@ -666,6 +669,7 @@ class Fetcher:
         tm: dict[str, float] = {}
         _share_t0 = time.perf_counter()
         self._round_mark_refs = []
+        self._mark_submit_t = 0.0
         nrows = None
         if select_mine:
             if self._bucket_lut is None:
@@ -727,7 +731,15 @@ class Fetcher:
                 p = self._verify_payloads(p)
                 tm["verify"] += time.perf_counter() - s
             parts.append(p)
-        pages = parts[0] if len(parts) == 1 else pa.concat_tables(parts).combine_chunks()
+        s = time.perf_counter()
+        # ZERO-COPY concat: keep per-group chunks.  combine_chunks here
+        # memcpy'd the whole share (payload bytes included) — ~5 s/actor
+        # on the first 2M-row round, where every actor first-touches
+        # fresh pages at once and the kernel's zero-fill serializes on
+        # memory bandwidth.  Downstream consumers (parquet write, narrow
+        # extract select, keys select) all handle chunked columns.
+        pages = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        tm["concat"] = time.perf_counter() - s
         _mark_t0 = time.perf_counter()
         unstorable = None
         if self._before_save_hooks:
@@ -747,6 +759,7 @@ class Fetcher:
         if unstorable is not None:
             drop = set(self.cfg.storage_except or ()) | {"bytes"}
             unstorable = unstorable.drop_columns([c for c in drop if c in unstorable.column_names])
+        tm["mark_hooks"] = time.perf_counter() - _mark_t0
         # within-round uuid dedup, min-seq wins (reference FIFO
         # page_exists? serialization, polipus.rb:209-213): done
         # IN-ACTOR because duplicate finals are always same-host
@@ -758,9 +771,13 @@ class Fetcher:
         # parent_seq wins first-occurrence admission either way
         # (parity suite pins this).
         if pages.num_rows:
+            _du0 = time.perf_counter()
             huh = pages["url_hash"].to_numpy()
             sq = pages["seq"].to_numpy()
+            tm["mark_tonp"] = time.perf_counter() - _du0
+            _du1 = time.perf_counter()
             uniq_h, inv, cnt = np.unique(huh, return_inverse=True, return_counts=True)
+            tm["mark_uniq"] = time.perf_counter() - _du1
             if (cnt > 1).any():
                 best = np.full(len(uniq_h), np.iinfo(np.int64).max, dtype=np.int64)
                 np.minimum.at(best, inv, sq)
@@ -784,7 +801,9 @@ class Fetcher:
                             self._round_mark_refs.extend(self.pool.mark_stored_async(*args))
                         else:
                             self.pool.mark_stored(*args)
+                    _df = time.perf_counter()
                     pages = pages.filter(pa.array(~loser))
+                    tm["mark_filter"] = time.perf_counter() - _df
         stored = pages.num_rows
         errors = pages.num_rows - pages["error"].null_count if stored else 0
         tm["mark"] = time.perf_counter() - _mark_t0
@@ -925,6 +944,7 @@ class Fetcher:
                         spill.append({"path": cp, "rows": chunk.num_rows, "hist": hist})
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
+        tm["mark_submit"] = self._mark_submit_t
         tm["share_total"] = time.perf_counter() - _share_t0
         mark_refs, self._round_mark_refs = self._round_mark_refs, None
         return {
