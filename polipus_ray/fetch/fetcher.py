@@ -68,6 +68,29 @@ _WEB_FETCH_SCHEMA = pa.schema(
 )
 
 
+def _drop_rows_sliced(t: pa.Table, keep: np.ndarray) -> pa.Table:
+    """Drop rows by composing ZERO-COPY slice runs instead of a
+    full-table filter copy.  When drops are sparse (the common case:
+    a few duplicate redirect finals in a 60k-row share), the kept
+    rows form long contiguous runs — each run becomes a `t.slice`
+    view and `concat_tables` stitches them without touching the
+    payload bytes.  Falls back to a regular filter when the mask is
+    fragmented enough that per-chunk overhead would win instead."""
+    idx = np.flatnonzero(keep)
+    if idx.size == 0:
+        return t.slice(0, 0)
+    if idx.size == t.num_rows:
+        return t
+    brk = np.flatnonzero(np.diff(idx) > 1)
+    n_runs = brk.size + 1
+    if n_runs > 2048:
+        return t.filter(pa.array(keep))
+    starts = np.concatenate(([0], brk + 1))
+    ends = np.concatenate((brk, [idx.size - 1]))
+    pieces = [t.slice(int(idx[s]), int(idx[e] - idx[s] + 1)) for s, e in zip(starts, ends)]
+    return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+
+
 class _Bucket:
     """One cached web-table partition plus its lookup index: a
     sorted md5-prefix (uint64) array + permutation for batched binary
@@ -627,7 +650,7 @@ class Fetcher:
             arrays.append(col)
         t = pa.Table.from_arrays(arrays, schema=schema)
         if not keep.all():
-            t = t.filter(pa.array(keep))
+            t = _drop_rows_sliced(t, keep)
         if self._mark_stored and self.pool is not None and t.num_rows:
             # fused mark-stored (only when no before_save hooks can
             # flip storable): one RPC batch per fetch group.  In pool
@@ -802,7 +825,7 @@ class Fetcher:
                         else:
                             self.pool.mark_stored(*args)
                     _df = time.perf_counter()
-                    pages = pages.filter(pa.array(~loser))
+                    pages = _drop_rows_sliced(pages, ~loser)
                     tm["mark_filter"] = time.perf_counter() - _df
         stored = pages.num_rows
         errors = pages.num_rows - pages["error"].null_count if stored else 0
