@@ -830,10 +830,25 @@ class Fetcher:
         stored = pages.num_rows
         errors = pages.num_rows - pages["error"].null_count if stored else 0
         tm["mark"] = time.perf_counter() - _mark_t0
-        s = time.perf_counter()
+        # parquet write OVERLAPPED with link extraction: zstd
+        # compression releases the GIL, and extraction only reads the
+        # (immutable) pages table, so a writer thread runs the sink
+        # while this thread extracts.  Joined before returning — the
+        # round barrier still guarantees the part file is durable.
+        _w_t0 = time.perf_counter()
+        _w_exc: list[BaseException] = []
+        _w_thread = None
         if stored:
-            pq.write_table(pages, out_path, compression="zstd")
-        tm["write"] = time.perf_counter() - s
+            import threading
+
+            def _write():
+                try:
+                    pq.write_table(pages, out_path, compression="zstd")
+                except BaseException as e:  # re-raised at join
+                    _w_exc.append(e)
+
+            _w_thread = threading.Thread(target=_write, daemon=True)
+            _w_thread.start()
         # narrow dedup keys returned inline: saves the driver a
         # per-round columnar re-read of every part file
         keys = pages.select(["url_hash", "host_hash", "seq", "fetched_at"]) if stored else None
@@ -967,6 +982,13 @@ class Fetcher:
                         spill.append({"path": cp, "rows": chunk.num_rows, "hist": hist})
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
+        if _w_thread is not None:
+            s = time.perf_counter()
+            _w_thread.join()
+            if _w_exc:
+                raise _w_exc[0]
+            tm["write_join"] = time.perf_counter() - s
+        tm["write"] = time.perf_counter() - _w_t0  # overlapped span (start -> join)
         tm["mark_submit"] = self._mark_submit_t
         tm["share_total"] = time.perf_counter() - _share_t0
         mark_refs, self._round_mark_refs = self._round_mark_refs, None
