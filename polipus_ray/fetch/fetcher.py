@@ -187,6 +187,7 @@ class Fetcher:
         self._pending_cand: pa.Table | None = None
         self._pending_spill_path: str | None = None
         self._mark_submit_t = 0.0  # profiling: time blocked in mark RPC submission
+        self._verify_ex = None  # lazy 1-thread pool for the fetch/verify pipeline
         # non-None only inside run_round_batch: mark-stored ObjectRefs
         # collected for the engine to await at the round barrier
         self._round_mark_refs: list | None = None
@@ -742,18 +743,33 @@ class Fetcher:
         if batch.num_rows > B:
             order = np.lexsort((batch["seq"].to_numpy(), batch["priority"].to_numpy()))
             batch = batch.take(pa.array(order))
-        parts = []
         tm["fetch"] = tm["verify"] = 0.0
+        # fetch/verify PIPELINE: payload verification is pure numpy
+        # (GIL-releasing GEMM/gather over the group's own table, no
+        # shared state), so group k verifies on a single worker thread
+        # while the main thread fetches group k+1.  Results resolve in
+        # order; tm["verify"] records only the end-of-loop join wait —
+        # the overlapped span hides inside tm["fetch"].
+        vex = None
+        if self.cfg.verify_payload:
+            vex = self._verify_ex
+            if vex is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                vex = self._verify_ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="verify")
+        futs: list = []
         for off in range(0, max(batch.num_rows, 1), B):
             sub = batch.slice(off, B)
             s = time.perf_counter()
             p = self(sub)
             tm["fetch"] += time.perf_counter() - s
-            if self.cfg.verify_payload and p.num_rows:
-                s = time.perf_counter()
-                p = self._verify_payloads(p)
-                tm["verify"] += time.perf_counter() - s
-            parts.append(p)
+            if vex is not None and p.num_rows:
+                futs.append(vex.submit(self._verify_payloads, p))
+            else:
+                futs.append(p)
+        s = time.perf_counter()
+        parts = [f.result() if hasattr(f, "result") else f for f in futs]
+        tm["verify"] = time.perf_counter() - s
         s = time.perf_counter()
         # ZERO-COPY concat: keep per-group chunks.  combine_chunks here
         # memcpy'd the whole share (payload bytes included) — ~5 s/actor
