@@ -744,19 +744,38 @@ class Fetcher:
             order = np.lexsort((batch["seq"].to_numpy(), batch["priority"].to_numpy()))
             batch = batch.take(pa.array(order))
         tm["fetch"] = tm["verify"] = 0.0
-        # fetch/verify PIPELINE: payload verification is pure numpy
-        # (GIL-releasing GEMM/gather over the group's own table, no
-        # shared state), so group k verifies on a single worker thread
-        # while the main thread fetches group k+1.  Results resolve in
-        # order; tm["verify"] records only the end-of-loop join wait —
-        # the overlapped span hides inside tm["fetch"].
+        # fetch/verify/extract PIPELINE: payload verification (pure
+        # numpy GEMM/gathers) and link extraction (Arrow/RE2 kernels +
+        # batched md5 — page-LOCAL, so per-group output rows are
+        # byte-identical to a whole-share pass) both run on a single
+        # worker thread while the main thread fetches group k+1.
+        # Results resolve in order; tm["verify"] records only the
+        # end-of-loop join wait.  Per-group extraction runs BEFORE the
+        # share-level duplicate-final drop, so candidates whose parent
+        # lost that dedup are removed afterwards by parent_seq — the
+        # winner's rows are byte-duplicates at lower parent_seq, so the
+        # surviving table equals extract-after-dedup exactly.  Gated
+        # off when before_save hooks exist (they can flip storable
+        # before extraction sees the page).
+        pipeline_extract = not self._before_save_hooks
+        if pipeline_extract and self._extractor is None:
+            self._extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self._robots_bodies)
         vex = None
-        if self.cfg.verify_payload:
+        if self.cfg.verify_payload or pipeline_extract:
             vex = self._verify_ex
             if vex is None:
                 from concurrent.futures import ThreadPoolExecutor
 
                 vex = self._verify_ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="verify")
+
+        def _verify_extract(p: pa.Table):
+            t0 = time.perf_counter()
+            if self.cfg.verify_payload and p.num_rows:
+                p = self._verify_payloads(p)
+            t1 = time.perf_counter()
+            c = self._extractor(p.select(PAGE_NARROW)) if (pipeline_extract and p.num_rows) else None
+            return p, c, t1 - t0, time.perf_counter() - t1
+
         futs: list = []
         for off in range(0, max(batch.num_rows, 1), B):
             sub = batch.slice(off, B)
@@ -764,12 +783,16 @@ class Fetcher:
             p = self(sub)
             tm["fetch"] += time.perf_counter() - s
             if vex is not None and p.num_rows:
-                futs.append(vex.submit(self._verify_payloads, p))
+                futs.append(vex.submit(_verify_extract, p))
             else:
-                futs.append(p)
+                futs.append((p, None, 0.0, 0.0))
         s = time.perf_counter()
-        parts = [f.result() if hasattr(f, "result") else f for f in futs]
+        res_parts = [f.result() if hasattr(f, "result") else f for f in futs]
         tm["verify"] = time.perf_counter() - s
+        parts = [r[0] for r in res_parts]
+        cand_parts = [r[1] for r in res_parts if r[1] is not None and r[1].num_rows]
+        tm["verify_work"] = sum(r[2] for r in res_parts)
+        tm["extract_work"] = sum(r[3] for r in res_parts)
         s = time.perf_counter()
         # ZERO-COPY concat: keep per-group chunks.  combine_chunks here
         # memcpy'd the whole share (payload bytes included) — ~5 s/actor
@@ -809,6 +832,7 @@ class Fetcher:
         # byte-duplicates of the winner's and the winner's lower
         # parent_seq wins first-occurrence admission either way
         # (parity suite pins this).
+        loser_seqs = None
         if pages.num_rows:
             _du0 = time.perf_counter()
             huh = pages["url_hash"].to_numpy()
@@ -840,6 +864,7 @@ class Fetcher:
                             self._round_mark_refs.extend(self.pool.mark_stored_async(*args))
                         else:
                             self.pool.mark_stored(*args)
+                    loser_seqs = sq[loser]
                     _df = time.perf_counter()
                     pages = _drop_rows_sliced(pages, ~loser)
                     tm["mark_filter"] = time.perf_counter() - _df
@@ -871,7 +896,22 @@ class Fetcher:
         if self._extractor is None:
             self._extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self._robots_bodies)
         s = time.perf_counter()
-        cand = self._extractor(pages.select(PAGE_NARROW)) if stored else None
+        if pipeline_extract:
+            # candidates were extracted per group in the pipeline;
+            # stitch them (zero-copy) and drop rows whose parent lost
+            # the duplicate-final dedup — byte-identical to extracting
+            # from the deduped share (winner rows are the same bytes
+            # at lower parent_seq)
+            if cand_parts:
+                cand = cand_parts[0] if len(cand_parts) == 1 else pa.concat_tables(cand_parts)
+                if loser_seqs is not None and loser_seqs.size and cand.num_rows:
+                    keep_c = ~np.isin(cand["parent_seq"].to_numpy(), loser_seqs)
+                    if not keep_c.all():
+                        cand = _drop_rows_sliced(cand, keep_c)
+            else:
+                cand = self._extractor(pages.select(PAGE_NARROW).slice(0, 0)) if stored else None
+        else:
+            cand = self._extractor(pages.select(PAGE_NARROW)) if stored else None
         tm["extract"] = time.perf_counter() - s
         spill = None
         cand_keys = None
