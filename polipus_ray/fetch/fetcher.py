@@ -890,9 +890,12 @@ class Fetcher:
 
             _w_thread = threading.Thread(target=_write, daemon=True)
             _w_thread.start()
-        # narrow dedup keys returned inline: saves the driver a
-        # per-round columnar re-read of every part file
-        keys = pages.select(["url_hash", "host_hash", "seq", "fetched_at"]) if stored else None
+        # the narrow dedup keys are NOT shipped: this method always
+        # applies the within-round dedup in-actor (deduped=True), so
+        # the driver's _dedup_round_output — the only consumer of
+        # result["keys"] — is skipped every pool round.  Shipping them
+        # cost ~2 MB/actor/round of result serialization for nothing.
+        keys = None
         if self._extractor is None:
             self._extractor = make_link_extractor(self.cfg, self._focus_crawl, self.num_buckets, robots_bodies=self._robots_bodies)
         s = time.perf_counter()
