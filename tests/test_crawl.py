@@ -737,3 +737,38 @@ def test_plasma_frontier_multi_round_bounded_workers(ray_session, world_dir):
     # shards) and a few task workers; anything far beyond that is the
     # blocked-ray.get worker explosion this test guards against
     assert grew <= cfg.workers + cfg.resolved_num_seen_shards() + 16, grew
+
+
+def test_drop_rows_sliced_equals_filter():
+    """_drop_rows_sliced must equal table.filter for every mask shape:
+    sparse runs (the zero-copy path), fragmented alternation (the
+    fallback), all-kept (identity), none-kept, and chunked input."""
+    import numpy as np
+    import pyarrow as pa
+
+    from polipus_ray.fetch.fetcher import _drop_rows_sliced
+
+    rng = np.random.default_rng(7)
+    base = pa.table(
+        {
+            "a": pa.array(np.arange(5000, dtype=np.int64)),
+            "b": pa.array([f"s{i}" for i in range(5000)]),
+            "c": pa.array(rng.integers(0, 1 << 40, 5000)),
+        }
+    )
+    chunked = pa.concat_tables([base.slice(0, 1700), base.slice(1700, 1300), base.slice(3000)])
+    masks = {
+        "all": np.ones(5000, bool),
+        "none": np.zeros(5000, bool),
+        "sparse": np.ones(5000, bool),
+        "alternating": np.arange(5000) % 2 == 0,  # 2500 runs -> filter fallback
+        "random": rng.random(5000) > 0.3,
+    }
+    masks["sparse"][rng.choice(5000, 40, replace=False)] = False
+    for name, keep in masks.items():
+        for t in (base, chunked):
+            got = _drop_rows_sliced(t, keep)
+            want = t.filter(pa.array(keep))
+            assert got.num_rows == want.num_rows, name
+            # combine to normalize chunking before value compare
+            assert got.combine_chunks().equals(want.combine_chunks()), name
