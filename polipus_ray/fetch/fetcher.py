@@ -928,34 +928,36 @@ class Fetcher:
             # seqs.  Byte-identical order to driver streaming, without
             # candidate strings ever crossing the driver.
             s = time.perf_counter()
+            # sort + dedup in INDEX space so the wide candidate table
+            # (url/referer strings) is gathered exactly once
             order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
-            cand = cand.take(pa.array(order))
-            ps = cand["parent_seq"].to_numpy()
-            li = cand["link_idx"].to_numpy()
+            ps = cand["parent_seq"].to_numpy()[order]
+            li = cand["link_idx"].to_numpy()[order]
             # precompute the driver's composite FIFO key (parent_seq <<
             # 16 | link_idx) actor-side — the driver then merges W
             # presorted spans instead of rebuilding + sorting the key
             comp = None
             if len(ps) and int(ps.max()) < (1 << 47) and int(li.max()) < (1 << 16) and int(ps.min()) >= 0:
                 comp = (ps.astype(np.int64) << 16) | li.astype(np.int64)
-            if self.cfg.ttl_page is None and cand.num_rows:
+            if self.cfg.ttl_page is None:
                 # intra-actor first-occurrence dedup: with TTL off the
                 # admission rule is admit = ~seen(sequential), so only
-                # a url_hash's FIRST occurrence (min composite — cand
-                # is comp-sorted) can ever admit; later same-actor
+                # a url_hash's FIRST occurrence (min composite — the
+                # order is comp-sorted) can ever admit; later same-actor
                 # occurrences are provably rejected.  Dropping them
                 # here cuts the driver's key volume ~3x.  (With TTL on,
                 # an expired page re-admits EVERY occurrence — keep
                 # all rows then.)  check_and_add filter state is
                 # unchanged: the kept first occurrence inserts the
                 # hash either way.
-                uh_a = cand["url_hash"].to_numpy()
+                uh_a = cand["url_hash"].to_numpy()[order]
                 uniq_h, first_idx = np.unique(uh_a, return_index=True)
                 if len(uniq_h) < len(uh_a):
                     keep_idx = np.sort(first_idx)
-                    cand = cand.take(pa.array(keep_idx))
+                    order = order[keep_idx]
                     if comp is not None:
                         comp = comp[keep_idx]
+            cand = cand.take(pa.array(order))
             self._pending_cand = cand
             self._pending_spill_path = spill_path
             cand_keys = cand.select(["url_hash", "host_hash", "parent_seq", "link_idx"])
@@ -969,11 +971,22 @@ class Fetcher:
             # (round, actor, idx): per-round depth order preserved,
             # intra-round total order approximate.
             s = time.perf_counter()
+            # FIFO order + admission in INDEX space: the wide candidate
+            # table (url/referer strings) is gathered exactly once, with
+            # only the admitted rows — a take-all + post-admit filter
+            # measured 6.8 s/actor mean at the 7.2M bench (admit_sort)
             order = np.lexsort((cand["link_idx"].to_numpy(), cand["parent_seq"].to_numpy()))
-            cand = cand.take(pa.array(order))
-            from ..frontier.stages import tracker_admit
+            uh_s = cand["url_hash"].to_numpy().astype(np.uint64, copy=False)[order]
+            hh_s = cand["host_hash"].to_numpy().astype(np.uint64, copy=False)[order]
+            from ..frontier.stages import tracker_admit_mask
 
-            cand = tracker_admit(cand, self.pool, self.cfg, now)
+            tm["admit_sort"] = time.perf_counter() - s
+            _t1 = time.perf_counter()
+            mask = tracker_admit_mask(uh_s, hh_s, self.pool, self.cfg, now)
+            sel = order[mask]
+            cand = cand.take(pa.array(sel))
+            _t1 = time.perf_counter()
+            tm["admit_probe"] = _t1 - s - tm["admit_sort"]
             n = cand.num_rows
             if n:
                 # next-round load histogram for the driver's bucket
@@ -1039,6 +1052,7 @@ class Fetcher:
                         cp = spill_path if off == 0 else spill_path.replace(".parquet", f"-{off // CH}.parquet")
                         pq.write_table(chunk, cp, compression="lz4")
                         spill.append({"path": cp, "rows": chunk.num_rows, "hist": hist})
+                tm["admit_put"] = time.perf_counter() - _t1
             cand = None
             tm["admit_spill"] = time.perf_counter() - s
         if _w_thread is not None:

@@ -410,6 +410,22 @@ def distinct_candidates(cand: pa.Table) -> pa.Table:
     return cand.take(pa.array(np.sort(first_idx)))
 
 
+def tracker_admit_mask(uh: np.ndarray, hh: np.ndarray, pool, cfg: CrawlConfig, now: int) -> np.ndarray:
+    """Index-space core of :func:`tracker_admit`: the admission mask
+    over (url_hash, host_hash) arrays, first-occurrence-wins within
+    the batch (check_and_add probes unique keys; later duplicates read
+    "visited").  Lets callers gather the wide candidate table ONCE
+    with only the admitted rows instead of take-all + filter."""
+    n = len(uh)
+    if cfg.ttl_page is not None:
+        exists, ts = pool.stored_info(uh, hh)
+        expired = exists & (ts >= 0) & ((now - cfg.ttl_page) > ts)
+    else:
+        expired = np.zeros(n, dtype=bool)
+    seen = pool.check_and_add(uh, hh)
+    return expired | ~seen
+
+
 def tracker_admit(cand: pa.Table, pool, cfg: CrawlConfig, now: int) -> pa.Table:
     """The tracker/TTL tail of should_be_visited?: TTL-expired rows
     bypass the visited check (polipus.rb:387-390) but every admitted
@@ -418,15 +434,8 @@ def tracker_admit(cand: pa.Table, pool, cfg: CrawlConfig, now: int) -> pa.Table:
     n = cand.num_rows
     if n == 0:
         return cand
-    uh = _u64col(cand["url_hash"])
-    hh = _u64col(cand["host_hash"])
-    if cfg.ttl_page is not None:
-        exists, ts = pool.stored_info(uh, hh)
-        expired = exists & (ts >= 0) & ((now - cfg.ttl_page) > ts)
-    else:
-        expired = np.zeros(n, dtype=bool)
-    seen = pool.check_and_add(uh, hh)
-    return cand.filter(pa.array(expired | ~seen))
+    mask = tracker_admit_mask(_u64col(cand["url_hash"]), _u64col(cand["host_hash"]), pool, cfg, now)
+    return cand.filter(pa.array(mask))
 
 
 def make_mark_stored(pool):

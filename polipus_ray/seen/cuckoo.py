@@ -161,20 +161,79 @@ class CuckooFilter:
                     out[j] = True
         return out
 
+    def add_many(self, hashes: np.ndarray) -> bool:
+        """Vectorized bulk insert of keys KNOWN ABSENT (caller probes
+        first).  Placement semantics match the scalar ``add`` hot path
+        — first free slot of i1, else of i2 — resolved for a whole
+        batch at once: keys are stable-sorted by target bucket, each
+        key's within-bucket rank selects the rank-th free slot, and
+        only keys whose rank exceeds the bucket's free slots fall
+        through (to i2, then to the scalar kick path — rare below
+        ~95% load).  Membership is identical to the scalar loop; only
+        the kick-chain interleaving can differ, which ``contains``
+        is insensitive to (both candidate buckets are probed).
+        Returns False if any key overflowed to the stash."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        n = len(h)
+        if n == 0:
+            return True
+        fps = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fps[fps == 0] = 1
+        i1 = (h & self.mask).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ (fps.astype(np.uint64) * _MIX)) & self.mask).astype(np.int64)
+        t = self.table
+        rem = np.arange(n)
+        for b_all in (i1, i2):
+            if not len(rem):
+                break
+            b = b_all[rem]
+            # claimant order within a bucket is immaterial to
+            # membership (every fitting claimant gets SOME free slot),
+            # so an unstable sort is fine
+            order = np.argsort(b)
+            bs = b[order]
+            m = len(bs)
+            first = np.empty(m, dtype=bool)
+            first[0] = True
+            np.not_equal(bs[1:], bs[:-1], out=first[1:])
+            inv = np.cumsum(first) - 1  # key -> unique-bucket row
+            idx = np.arange(m)
+            run_start = np.maximum.accumulate(np.where(first, idx, 0))
+            rank = idx - run_start
+            # per UNIQUE bucket: free-slot count + free-slot positions
+            # packed as nibbles (slot of rank r = nibble r) — keeps the
+            # per-key work 1-D instead of (m, SLOTS)
+            ub = bs[first]
+            z = t[ub] == 0  # (u, SLOTS)
+            cnt = np.zeros(len(ub), np.int64)
+            fs = np.zeros(len(ub), np.int64)
+            for j in range(_SLOTS):
+                zj = z[:, j]
+                fs |= np.where(zj, np.left_shift(j, 4 * cnt), 0)
+                cnt += zj
+            fits = rank < cnt[inv]
+            slot = (fs[inv[fits]] >> (4 * rank[fits])) & 0xF
+            t[bs[fits], slot] = fps[rem[order[fits]]]
+            self.count += int(fits.sum())
+            rem = rem[order[~fits]]
+        ok = True
+        for j in rem:  # kick path (add() maintains count/stash itself)
+            ok &= self.add(int(h[j]))
+        return ok
+
     def check_and_add_many(self, hashes: np.ndarray) -> np.ndarray:
         """For each hash: True if already present, else insert it and
         return False.  Duplicate hashes within the batch behave like
         the reference's serialized enqueue (first occurrence inserts,
         later ones read "visited").  Vectorized probe over the unique
-        keys; only genuinely-new keys take the per-key insert path."""
+        keys; genuinely-new keys go through the vectorized bulk
+        insert."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
         uniq, first_idx = np.unique(hashes, return_index=True)
         pre = self.contains_many(uniq)
-        overloaded = False
-        for h in uniq[~pre]:
-            overloaded |= not self.add(int(h))
+        overloaded = not self.add_many(uniq[~pre])
         if overloaded and not getattr(self, "_warned_full", False):
             self._warned_full = True
             import logging

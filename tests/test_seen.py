@@ -52,6 +52,39 @@ def test_check_and_add_duplicates_within_batch():
     assert seen.tolist() == [False, False, True, False, True]
 
 
+def test_add_many_matches_scalar_add():
+    """Vectorized bulk insert == per-key add: same admission mask,
+    same count, same membership — including intra-batch duplicates,
+    bucket contention (many keys per bucket), and the i2/kick
+    fallback at ~97% load."""
+    rng = np.random.default_rng(11)
+    hs = rng.integers(0, 2**64, 60_000, dtype=np.uint64)
+    hs = np.concatenate([hs, hs[:10_000]])
+    rng.shuffle(hs)
+
+    cf_v = CuckooFilter(capacity=80_000)
+    out_v = cf_v.check_and_add_many(hs)
+
+    cf_s = CuckooFilter(capacity=80_000)
+    uniq, first_idx = np.unique(hs, return_index=True)
+    pre = cf_s.contains_many(uniq)
+    for h in uniq[~pre]:
+        cf_s.add(int(h))
+    out_s = np.ones(len(hs), dtype=bool)
+    out_s[first_idx[~pre]] = False
+
+    assert np.array_equal(out_v, out_s)
+    assert cf_v.count == cf_s.count
+    assert cf_v.contains_many(uniq).all()
+
+    # high load: fill to ~97% of slots so placements spill to i2 and
+    # the scalar kick path; no key may be lost
+    cf = CuckooFilter(capacity=60_000)
+    keys = rng.integers(0, 2**64, int(cf.nbuckets * 4 * 0.97), dtype=np.uint64)
+    cf.check_and_add_many(keys)
+    assert cf.contains_many(keys).all()
+
+
 def test_cuckoo_overload_never_false_negative():
     # insert far beyond capacity: kicked-out fingerprints must land in
     # the overflow stash, not vanish (a drop would erase a PREVIOUS
