@@ -688,6 +688,23 @@ class Fetcher:
         driver-side stable-sort + take scatter (parity suite)."""
         from ..frontier.stages import PAGE_NARROW, filter_storable, make_link_extractor, make_mark_stored
 
+        # profiling aid: POLIPUS_CPROFILE=<dir> dumps one pstats file
+        # per (actor, round) so per-phase timers can be attributed to
+        # actual callees (the in-actor view a driver profiler can't see)
+        prof_dir = os.environ.pop("POLIPUS_CPROFILE", None)
+        if prof_dir:
+            import cProfile
+
+            pr = cProfile.Profile()
+            pr.enable()
+            try:
+                return self.run_round_batch(batch, round_no, now, out_path, spill_path, actor_id, select_mine)
+            finally:
+                pr.disable()
+                os.makedirs(prof_dir, exist_ok=True)
+                pr.dump_stats(os.path.join(prof_dir, f"actor{actor_id}-r{round_no}.pstats"))
+                os.environ["POLIPUS_CPROFILE"] = prof_dir
+
         self.round_no = round_no
         self.now = now
         tm: dict[str, float] = {}
@@ -894,7 +911,9 @@ class Fetcher:
         _w_t0 = time.perf_counter()
         _w_exc: list[BaseException] = []
         _w_thread = None
-        if stored:
+        if stored and os.environ.get("POLIPUS_NO_WRITE_THREAD"):
+            pq.write_table(pages, out_path, compression="zstd")
+        elif stored:
             import threading
 
             def _write():
@@ -1216,7 +1235,12 @@ class Fetcher:
                     side = max(4, 32 >> s)
                     yi = (np.arange(side) * h // side).astype(np.int64)
                     xi = (np.arange(side) * w // side).astype(np.int64)
-                    phash64_from_gray(gray[:, yi[:, None], xi[None, :]])  # pyramid levels (fingerprint work)
+                    # pyramid levels (fingerprint work): composed
+                    # subsample indices — gathers compose, so the
+                    # intermediate (N, side, side) copy is skipped
+                    y2 = yi[(np.arange(32) * side // 32).astype(np.int64)]
+                    x2 = xi[(np.arange(32) * side // 32).astype(np.int64)]
+                    phash64_from_gray(gray, rows=y2, cols=x2)
                 ok[s2] = want_none[s2] | (got == want_u64[s2])
         return pages.append_column("payload_ok", pa.array(ok, pa.bool_()))
 

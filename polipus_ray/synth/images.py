@@ -108,7 +108,7 @@ def gray_batch(pixels4: np.ndarray) -> np.ndarray:
     return (pixels4.reshape(n, -1, 3).astype(np.float64) @ _LUMA).reshape(n, h, w)
 
 
-def phash64_from_gray(gray3: np.ndarray) -> np.ndarray:
+def phash64_from_gray(gray3: np.ndarray, rows: np.ndarray | None = None, cols: np.ndarray | None = None) -> np.ndarray:
     """(N, h, w) float64 grayscale stack -> (N,) uint64 phash.  The
     two DCT passes run as ONE large GEMM each (reshape trick) instead
     of N 32x32 GEMMs, and only the 8 low-frequency DCT rows/cols the
@@ -118,6 +118,20 @@ def phash64_from_gray(gray3: np.ndarray) -> np.ndarray:
     at ~1/10 the FLOPs and intermediate traffic.  Lets callers compute
     luma once and hash several subsampled scales of the same gray
     stack.
+
+    ``rows``/``cols`` (each len-32, optional) override the default
+    32-point subsample index — callers hashing a SUBSAMPLED view of
+    ``gray3`` (the pyramid levels) pass the composed index instead of
+    materializing the intermediate (N, side, side) gather; identical
+    elements reach the transform either way (gathers compose).
+
+    The whole pipeline is copy-free beyond the one 32-point gather:
+    the gather lands directly in the (32, N, 32) row-major layout the
+    first GEMM consumes, both GEMM operands are contiguous-view
+    reshapes, and the per-image median runs over axes (0, 2) of the
+    (8, N, 8) coefficient block (same 64-value multiset per image, so
+    the same median) — the two former float64 ``ascontiguousarray``
+    transposes were the kernel's single largest cost at scale.
 
     PORTABILITY (ADVICE r3): "bit-identical" additionally assumes the
     BLAS evaluates each k=32 dot product in the same order across GEMM
@@ -129,15 +143,18 @@ def phash64_from_gray(gray3: np.ndarray) -> np.ndarray:
     everywhere) and test_synth fails — re-pin BLAS threading or drop
     to the scalar ``phash64`` path if that ever happens."""
     n, h, w = gray3.shape
-    yi = (np.arange(32) * h // 32).astype(np.int64)
-    xi = (np.arange(32) * w // 32).astype(np.int64)
-    small = gray3[:, yi[:, None], xi[None, :]]  # (N, 32, 32)
+    yi = (np.arange(32) * h // 32).astype(np.int64) if rows is None else np.asarray(rows, np.int64)
+    xi = (np.arange(32) * w // 32).astype(np.int64) if cols is None else np.asarray(cols, np.int64)
+    # one gather, straight into the transposed (32, N, 32) layout
+    small_t = gray3[np.arange(n)[None, :, None], yi[:, None, None], xi[None, None, :]]
     d8 = _DCT32[:8]
-    x = np.ascontiguousarray(small.transpose(1, 0, 2)).reshape(32, n * 32)
-    t1 = (d8 @ x).reshape(8, n, 32).transpose(1, 0, 2)
-    block = (np.ascontiguousarray(t1).reshape(n * 8, 32) @ d8.T).reshape(n, 64)
-    med = np.median(block, axis=1, keepdims=True)
-    bits = (block > med).astype(np.uint8)
+    t1 = d8 @ small_t.reshape(32, n * 32)  # (8, n*32)
+    # rows of the second GEMM are (freq_i, image_k) ordered — a pure
+    # row permutation of the former (k, i) order; each output element
+    # is the same 32-element inner product
+    b3 = (t1.reshape(8 * n, 32) @ d8.T).reshape(8, n, 8)
+    med = np.median(b3, axis=(0, 2))
+    bits = (b3 > med[None, :, None]).astype(np.uint8).transpose(1, 0, 2).reshape(n, 64)
     return np.packbits(bits, axis=1).view(">u8").reshape(n).astype(np.uint64)
 
 
