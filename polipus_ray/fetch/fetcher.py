@@ -540,10 +540,20 @@ class Fetcher:
             subs.append(bk.t.select(payload_cols).take(pa.array(rows)))
             src[out_pos] = base + np.arange(len(rows))
             base += len(rows)
-        for j, (bk_f, ri) in slow_final.items():
-            subs.append(bk_f.t.select(payload_cols).take(pa.array([ri])))
-            src[j] = base
-            base += 1
+        if slow_final:
+            # redirect finals grouped per bucket: ONE take per touched
+            # bucket instead of one single-row take per redirect (the
+            # per-row takes were ~60k calls/round at a 4% redirect
+            # rate — the largest pc.take cost in the profile)
+            by_bk: dict[int, tuple] = {}
+            for j, (bk_f, ri) in slow_final.items():
+                g = by_bk.setdefault(id(bk_f), (bk_f, [], []))
+                g[1].append(j)
+                g[2].append(ri)
+            for bk_f, out_pos, rows in by_bk.values():
+                subs.append(bk_f.t.select(payload_cols).take(pa.array(rows, pa.int64())))
+                src[out_pos] = base + np.arange(len(rows))
+                base += len(rows)
         pschema = subs[0].schema if subs else pa.schema([_WEB_FETCH_SCHEMA.field(c) for c in payload_cols])
         filler = []  # miss rows: links=[], content_type='', rest null (http.rb:63-71)
         for f in pschema:
@@ -555,7 +565,10 @@ class Fetcher:
                 filler.append(pa.array([None], f.type))
         subs.append(pa.Table.from_arrays(filler, schema=pschema))
         src[~hit] = base
-        payload = pa.concat_tables(subs).combine_chunks().take(pa.array(src))
+        # no combine_chunks: after per-bucket grouping the concat has
+        # only ~(buckets + 1) chunks, and combining memcpy'd the whole
+        # sub-batch payload (bytes included) once more before the take
+        payload = pa.concat_tables(subs).take(pa.array(src))
 
         # --- remaining columns, vectorized ---------------------------------
         lens = np.zeros(n, np.int64)
