@@ -122,6 +122,9 @@ class RobotsCache:
         # and the resolved crawl delay.  Same semantics as ParsedRobots
         # (flat any() == the nested loop), ~10x cheaper per URL.
         self._flat_rules: dict[tuple[str, int], list[re.Pattern]] = {}
+        # combined RE2 alternation per (host, ua): "" = no rules,
+        # False = RE2 rejected the pattern (per-row Python fallback)
+        self._alt_rules: dict[tuple[str, int], str | bool] = {}
         self._host_delay: dict[tuple[str, int], int | None] = {}
         if isinstance(user_agent, (list, tuple)):
             self._uas = [str(u) for u in user_agent] or ["polipus-ray"]
@@ -159,17 +162,45 @@ class RobotsCache:
         path = path_of(url)
         return not any(r.search(path) for r in rules)
 
+    def _alt_pattern(self, host: str, ua_idx: int):
+        """Combined RE2 alternation of a (host, ua)'s Disallow rules:
+        ``^(?:r1|r2|...)``.  Each rule is already ^-anchored and
+        alternation-free (escape + ``*``→``.*``), so one unanchored
+        RE2 search of the combined pattern == ``any(r.search(path))``.
+        Returns "" when there are no rules; False when RE2 rejects the
+        combined pattern (caller falls back to the Python loop)."""
+        key = (host, ua_idx)
+        got = self._alt_rules.get(key)
+        if got is None:
+            rules = self._rules_for(host, ua_idx)
+            if not rules:
+                got = ""
+            else:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                got = "^(?:" + "|".join(r.pattern[1:] for r in rules) + ")"
+                try:
+                    pc.match_substring_regex(pa.array([], pa.string()), got)
+                except Exception:  # noqa: BLE001 — RE2 dialect mismatch
+                    got = False
+            self._alt_rules[key] = got
+        return got
+
     def allowed_mask(self, urls, hosts, uhash=None) -> "np.ndarray":
         """Batched ``allowed``: rows grouped by host so the rule list
         resolves once per (host, ua) — and hosts with NO matching
         disallow rules (the common case) never materialize their rows
-        at all.  ``urls``/``hosts`` may be Python lists OR Arrow string
-        arrays; with Arrow input the host grouping is a C-level
-        dictionary encode and URL strings are materialized ONLY for
-        rows of rule-bearing hosts.  ``uhash``: optional uint64 url
-        hashes for per-request UA resolution (ua_idx = hash %
-        n_agents, fetcher parity).  Identical output to per-row
-        ``allowed`` (pinned in test_robots)."""
+        at all.  Rule-bearing hosts' rows run fully vectorized: one
+        RE2 request-uri extraction over all such rows (per-row
+        ``path_of`` only for the rare no-netloc / empty-path /
+        "?"-leading shapes) and ONE combined-alternation RE2 kernel
+        per (host, ua) instead of a Python ``any(r.search)`` per row.
+        ``urls``/``hosts`` may be Python lists OR Arrow string arrays.
+        ``uhash``: optional uint64 url hashes for per-request UA
+        resolution (ua_idx = hash % n_agents, fetcher parity).
+        Identical output to per-row ``allowed`` (pinned in
+        test_robots)."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -188,30 +219,56 @@ class RobotsCache:
         hu = hd.dictionary.to_pylist()
         hidx = hd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uh_all = None if uhash is None else np.asarray(uhash, dtype=np.uint64)
+        rule_hosts = []  # (dict code, host, per-ua rule lists)
         for k, h in enumerate(hu):
             per_ua = [self._rules_for(h, ui) for ui in range(nag)]
-            if not any(per_ua):
-                continue
-            rows = np.flatnonzero(hidx == k)
-            if urls_arrow:
-                u_rows = ua_arr.take(pa.array(rows)).to_pylist()
+            if any(per_ua):
+                rule_hosts.append((k, h, per_ua))
+        if not rule_hosts:
+            return keep
+        need = np.isin(hidx, np.array([k for k, _, _ in rule_hosts], dtype=np.int64))
+        rows_all = np.flatnonzero(need)
+        if urls_arrow:
+            u_sub = ua_arr.take(pa.array(rows_all))
+        else:
+            u_sub = pa.array([urls[int(i)] for i in rows_all], pa.string())
+        # request-uri per row (vectorized path_of): capture everything
+        # after scheme://netloc up to the fragment; fix up the rare
+        # shapes path_of special-cases via the exact Python function
+        paths = pc.struct_field(pc.extract_regex(u_sub, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(?P<r>[^#]*)"), "r")
+        fix = pc.fill_null(
+            pc.or_(pc.or_kleene(pc.is_null(paths), pc.equal(paths, "")), pc.starts_with(paths, "?")), True
+        ).to_numpy(zero_copy_only=False)
+        fi = np.flatnonzero(fix)
+        if fi.size:
+            u_fix = u_sub.take(pa.array(fi)).to_pylist()
+            paths = pc.replace_with_mask(paths, pa.array(fix), pa.array([path_of(u) for u in u_fix], pa.string()))
+        hidx_sub = hidx[rows_all]
+        uai_sub = None
+        if nag > 1:
+            if uh_all is not None:
+                uai_sub = (uh_all[rows_all] % np.uint64(nag)).astype(np.int64)
             else:
-                u_rows = [urls[int(i)] for i in rows]
-            uai = None
-            if nag > 1:
-                if uh_all is not None:
-                    uai = (uh_all[rows] % np.uint64(nag)).astype(np.int64)
-                else:
-                    from .urltools import url_hash64
+                from .urltools import url_hash64
 
-                    uai = np.array([url_hash64(u) % nag for u in u_rows], dtype=np.int64)
-            for j in range(len(rows)):
-                rules = per_ua[0] if uai is None else per_ua[int(uai[j])]
+                uai_sub = np.array([url_hash64(u) % nag for u in u_sub.to_pylist()], dtype=np.int64)
+        for k, h, per_ua in rule_hosts:
+            gsel = np.flatnonzero(hidx_sub == k)
+            for ui in (0,) if uai_sub is None else np.unique(uai_sub[gsel]):
+                rules = per_ua[int(ui)]
                 if not rules:
                     continue
-                p = path_of(u_rows[j])
-                if any(r.search(p) for r in rules):
-                    keep[rows[j]] = False
+                rsel = gsel if uai_sub is None else gsel[uai_sub[gsel] == ui]
+                pat = self._alt_pattern(h, int(ui))
+                if pat:
+                    m = pc.fill_null(pc.match_substring_regex(paths.take(pa.array(rsel)), pat), False)
+                    bad = rsel[m.to_numpy(zero_copy_only=False)]
+                    keep[rows_all[bad]] = False
+                else:  # RE2 rejected the combined pattern: exact loop
+                    p_rows = paths.take(pa.array(rsel)).to_pylist()
+                    for j, p in zip(rsel, p_rows):
+                        if any(r.search(p) for r in rules):
+                            keep[rows_all[j]] = False
         return keep
 
     def delay(self, host: str, ua_idx: int = 0) -> int | None:

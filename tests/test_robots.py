@@ -94,3 +94,46 @@ def test_per_request_ua_robots_matching():
     r1, f1, s1 = compile_policy({"h.example": body}, cfg1)
     k1 = _policy_mask(urls, hosts, r1, f1, s1)
     assert k1[:-1].all() and not k1[-1]
+
+
+def test_allowed_mask_matches_per_row_allowed_on_odd_shapes():
+    """The vectorized allowed_mask (RE2 request-uri extraction + one
+    combined-alternation kernel per host/ua) must equal per-row
+    ``allowed`` on every shape path_of special-cases: empty path,
+    "?"-leading request-uri, fragments, no-netloc URLs, query-string
+    rules, wildcard rules, and rule-free hosts."""
+    import numpy as np
+    import pyarrow as pa
+
+    bodies = {
+        "a.test": "User-agent: *\nDisallow: /secret/*\nDisallow: /tmp\nDisallow: /p?x=*\nDisallow: /été\n",
+        "q.test": "User-agent: *\nDisallow: /?drop=1\n",
+        "free.test": "User-agent: *\nAllow: /\n",
+    }
+    cache = RobotsCache(bodies, user_agent="foo")
+    urls = [
+        "http://a.test/",  # empty-ish path
+        "http://a.test",  # NO path at all -> path_of '/'
+        "http://a.test/tmpanything",
+        "http://a.test/secret/x/y",
+        "http://a.test/ok#frag",
+        "http://a.test/tmp#frag",  # fragment stripped before match
+        "http://a.test/p?x=1",  # query string matched
+        "http://a.test/p?y=1",
+        "http://a.test/%C3%A9t%C3%A9",  # escaped utf-8 path (no match: rule is raw)
+        "http://a.test/été",  # raw utf-8 path (matches)
+        "http://q.test?drop=1",  # '?'-leading request-uri -> '/?drop=1'
+        "http://q.test/?drop=1",
+        "http://q.test/keep",
+        "http://free.test/anything",
+        "relative/no-netloc",  # urlsplit fallback branch of path_of
+    ]
+    hosts = [u.split("/")[2].split("#")[0].split("?")[0] if "://" in u else "a.test" for u in urls]
+    expect = np.array([cache.allowed(u, host=h) for u, h in zip(urls, hosts)], dtype=bool)
+    got_list = cache.allowed_mask(urls, hosts)
+    assert (got_list == expect).all()
+    # Arrow input path, chunked
+    ua = pa.chunked_array([urls[:7], urls[7:]])
+    ha = pa.chunked_array([hosts[:7], hosts[7:]])
+    got_arrow = cache.allowed_mask(ua, ha)
+    assert (got_arrow == expect).all()
