@@ -105,9 +105,17 @@ def bench_crawl(world_dir: str) -> dict:
 
 def bench_ops() -> dict:
     out = {}
+    import ray.data
+
     from polipus_ray.ops.ann import ann_topk_bruteforce
     from polipus_ray.ops.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
     from polipus_ray.ops.text import quality_stats, token_counts
+
+    # untimed warm-up: spin up the map-task worker pool (the crawl
+    # bench above runs on ACTORS, so the first task-pool op would
+    # otherwise pay ~2-3 s of worker forking inside its timed window —
+    # same exclusion the crawl bench applies to its own pool warm-up)
+    ray.data.range(1024, override_num_blocks=32).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     def timed(name, fn):
         t0 = time.time()

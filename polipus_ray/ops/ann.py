@@ -85,7 +85,9 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 10):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from polipus_ray.ops.dedup import _emb_read
+
+    ds = _emb_read(sf_dir)
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=1024)
         .groupby("query_id")
@@ -127,7 +129,9 @@ def _ivf_sample(sf_dir: str, cap: int = 4096) -> np.ndarray:
     if ray.is_initialized():
         import ray.data
 
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        from polipus_ray.ops.dedup import _emb_read
+
+        ds = _emb_read(sf_dir)
         if mod > 1:
 
             def pick(batch: pa.Table) -> pa.Table:
@@ -200,5 +204,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 5, num_queries: int = 10, nlist: int = 16
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from polipus_ray.ops.dedup import _emb_read
+
+    ds = _emb_read(sf_dir)
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=1024).groupby("query_id").map_groups(merge, batch_format="pyarrow").sort(["query_id", "rank"])

@@ -48,7 +48,10 @@ def token_counts(sf_dir: str):
     """doc_id, n_tokens (space-split), n_bpe_tokens (regex), n_chars."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from polipus_ray.ops.dedup import small_read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
     return ds.map_batches(_token_batch, batch_format="pyarrow")
 
 
@@ -72,7 +75,10 @@ def quality_stats(sf_dir: str):
     integer columns so the DuckDB value-hash comparison is exact)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from polipus_ray.ops.dedup import small_read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
     return ds.map_batches(_quality_batch, batch_format="pyarrow")
 
 
@@ -115,7 +121,10 @@ class LangId:
 def lang_id(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from polipus_ray.ops.dedup import small_read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
 
 
@@ -149,5 +158,8 @@ def fingerprints(sf_dir: str):
     """doc_id -> winnowing fingerprint (deterministic; rows-only check)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from polipus_ray.ops.dedup import small_read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
     return ds.map_batches(_fp_batch, batch_format="pyarrow")
