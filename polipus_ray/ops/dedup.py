@@ -81,7 +81,15 @@ def join_partitions(rows: int | None = None, floor: int = 8) -> int:
     cap = max(floor, 4 * cpus) if cpus else floor
     if rows is None:
         return min(max(floor, cpus), cap)
-    return int(min(max(floor, rows // _JOIN_ROWS_PER_PARTITION + 1), cap))
+    want = rows // _JOIN_ROWS_PER_PARTITION + 1
+    if want < floor:
+        # tiny join: each hash-join partition spins up an aggregator
+        # ACTOR (~0.1-0.3 s each, plus its worker process) — 8-way
+        # partitioning a <250k-row join is pure spin-up cost (measured
+        # ~1 s/join at sf0.01, and it trips raylet worker-count
+        # warnings on small nodes)
+        floor = 2
+    return int(min(max(floor, want), cap))
 
 
 def _h64(s: str) -> int:
@@ -530,8 +538,18 @@ def small_read_blocks(path: str) -> int | None:
     rows = _parquet_rows(path)
     if rows is None:
         return None
-    nparts = join_partitions(rows)
-    return nparts if rows // _JOIN_ROWS_PER_PARTITION + 1 <= nparts else None
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:  # pragma: no cover — defensive: never fail a pipeline on introspection
+        cpus = 0
+    cap = max(8, 4 * cpus) if cpus else 8
+    want = rows // _JOIN_ROWS_PER_PARTITION + 1
+    # floor of 8 (unlike the tiny-join floor of 2): read blocks feed
+    # the vectorized map stages, where 8-way parallelism is still
+    # worth 8 task launches
+    return int(min(max(8, want), cap)) if want <= cap else None
 
 
 def _pack_u64(arr: np.ndarray) -> bytes:
