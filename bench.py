@@ -165,7 +165,17 @@ def run_once() -> dict:
     for f in glob.glob(os.path.join(world, "web", "**", "*.parquet"), recursive=True):
         with open(f, "rb") as fh:
             fh.read()
+    # best of GRAFT_CRAWL_REPS reps (default 2): the shared box swings
+    # 1.5-2x run-to-run under external load (load-avg spikes to 16+
+    # from co-tenants were measured mid-bench); the min is the honest
+    # machine-capability number and reps are cheap at the default 120k
+    # pages.  Single-rep for big GRAFT_BENCH_PAGES runs.
+    reps = int(os.environ.get("GRAFT_CRAWL_REPS", "2" if N_PAGES <= 500_000 else "1"))
     crawl = bench_crawl(world)
+    for _ in range(reps - 1):
+        c2 = bench_crawl(world)
+        if c2["sec"] < crawl["sec"]:
+            crawl = c2
     queries = {"crawl": round(crawl["sec"], 3)}
     queries.update(bench_ops())
     result = {
