@@ -117,11 +117,16 @@ def bench_ops() -> dict:
     # same exclusion the crawl bench applies to its own pool warm-up)
     ray.data.range(1024, override_num_blocks=32).map_batches(lambda b: b, batch_format="pyarrow").count()
 
-    def timed(name, fn):
-        t0 = time.time()
-        ds = fn()
-        n = ds.count() if hasattr(ds, "count") else len(ds)
-        out[name] = round(time.time() - t0, 3)
+    def timed(name, fn, reps=2):
+        # best-of-N, same co-tenant-noise rationale as the crawl reps
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            ds = fn()
+            n = ds.count() if hasattr(ds, "count") else len(ds)
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
         return n
 
     timed("dedup_exact", lambda: exact_dedup(SF_DIR))
