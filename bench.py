@@ -174,7 +174,7 @@ def run_once() -> dict:
     # 1.5-2x run-to-run under external load (load-avg spikes to 16+
     # from co-tenants were measured mid-bench); the min is the honest
     # machine-capability number and reps are cheap at the default 120k
-    # pages.  Single-rep for big GRAFT_BENCH_PAGES runs.
+    # pages.  Single-rep for big GRAFT_WEB_PAGES runs.
     reps = int(os.environ.get("GRAFT_CRAWL_REPS", "2" if N_PAGES <= 500_000 else "1"))
     crawl = bench_crawl(world)
     for _ in range(reps - 1):
