@@ -96,6 +96,42 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 10):
     )
 
 
+def ann_range_search(sf_dir: str, threshold: float = 0.3, num_queries: int = 10):
+    """Range similarity search: every corpus vector with cosine >=
+    ``threshold`` to each query.  Pure map + sort — the per-batch
+    matmul against the broadcast query matrix emits only qualifying
+    pairs, so nothing shuffles but the (small) result set; there is no
+    groupby at all.  The top-k variant above is the bounded-output
+    cousin; this is the recall-complete one (near-dup candidate pulls,
+    contamination sweeps)."""
+    import ray
+    import ray.data
+
+    qids, Q = _load_queries(sf_dir, num_queries)
+    qref = ray.put((qids, Q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(qref)
+        ids = batch["vec_id"].to_numpy()
+        M = emb_matrix(batch["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Q_ @ M.T  # (nq, nb)
+        hit = sims >= threshold
+        hit &= ids[None, :] != qids_[:, None]  # exclude self
+        qi, bi = np.nonzero(hit)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_[qi].astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(ids[bi].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from polipus_ray.ops.dedup import _emb_read
+
+    ds = _emb_read(sf_dir)
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=1024).sort(["query_id", "neighbor_id"])
+
+
 def _kmeans(M: np.ndarray, nlist: int, iters: int = 5, seed: int = 7) -> np.ndarray:
     """Deterministic mini k-means (cosine space: rows pre-normalized)."""
     n = len(M)

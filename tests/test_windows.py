@@ -1,0 +1,79 @@
+"""Windowed aggregates + range search, pinned against the SAME oracle
+SQL the driver runs (__ray_entry__.oracle_sql() strings verbatim, on
+views named like the driver's), so a pass here predicts a hash-green
+CORRECTNESS row."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["events_tumbling_window", "events_sessionize", "events_type_stats", "ann_range_search"],
+)
+def test_new_queries_match_their_oracles(ray_session, key):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[key](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
+    want = _oracle_con(SF).execute(entry.oracle_sql()[key]).df()
+    got, want = _normalize(got), _normalize(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    for c in got.columns:
+        if got[c].dtype.kind in "iu":
+            assert (got[c].to_numpy().astype("int64") == want[c].to_numpy().astype("int64")).all(), c
+        else:
+            assert (got[c].astype(str).to_numpy() == want[c].astype(str).to_numpy()).all(), c
+
+
+def test_session_gap_semantics(ray_session):
+    """Boundary pin: a gap EXACTLY equal to gap_s does NOT split (the
+    split condition is strictly greater), and sessions never span
+    users."""
+    from polipus_ray.ops.windows import session_windows
+
+    out = session_windows(SF, gap_s=14400).to_pandas()
+    # session internals respect the gap: every session's span implies
+    # per-event gaps <= gap (can't exceed (n-1) * gap)
+    span = out["session_end_us"] - out["session_start_us"]
+    assert (span <= (out["n_events"] - 1).clip(lower=0) * 14400 * 1_000_000).all()
+    # total events conserved
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert int(out["n_events"].sum()) == n
+
+
+def test_tumbling_window_conserves_events(ray_session):
+    from polipus_ray.ops.windows import tumbling_window
+
+    out = tumbling_window(SF, window_s=3600).to_pandas()
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert int(out["n_events"].sum()) == n
+    assert (out["win_us"] % (3600 * 1_000_000) == 0).all()
