@@ -36,6 +36,8 @@ cast), matching DuckDB's ``epoch_us`` in the oracles.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -139,6 +141,74 @@ def session_windows(sf_dir: str, gap_s: int = 14400):
 
     ds = _events_read(sf_dir, ["event_id", "ts", "user_id"])
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow").sort(["user_id", "session_start_us"])
+
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096 registers, ~1.6% std error
+_HLL_WBITS = 64 - _HLL_P  # 52-bit rank window
+_HLL_MAXRHO = _HLL_WBITS + 1  # 53
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimate from a register array, computed so a SQL
+    oracle can replay it bit-exactly: the harmonic sum is an exact
+    INTEGER (sum of 1 << (53 - M[j]), a python int / SQL HUGEINT), and
+    the float tail is one identical expression on both sides."""
+    cnt = np.bincount(regs, minlength=_HLL_MAXRHO + 1)
+    s_int = sum(int(c) << (_HLL_MAXRHO - r) for r, c in enumerate(cnt) if c)
+    v = int(cnt[0])
+    alpha_mm = (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+    est = alpha_mm * 9007199254740992.0 / float(s_int)  # * 2^53 / S
+    if est <= 10240.0 and v > 0:  # 2.5 * m: linear-counting range
+        est = 4096.0 * math.log(4096.0 / v)
+    return int(math.floor(est))
+
+
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct users per event_type — the SKETCH scale
+    path beside ``event_type_stats``'s exact two-level distinct: each
+    batch reduces to one 4096-byte register row per type, the groupby
+    merge is an elementwise max, so the shuffle carries O(types x
+    blocks) sketch rows, never the (event_type, user_id) pairs.
+    Hashing is the repo's md5-u64 convention (top 8 md5 bytes of the
+    decimal user_id string), so DuckDB replays registers AND estimate
+    exactly — the estimate is deliberately integer-exact (see
+    ``_hll_estimate``), making this approximate op value-hash-checkable
+    rather than rows-only."""
+    import ray.data  # noqa: F401
+
+    from polipus_ray.ops.md5vec import md5_u64_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        h = md5_u64_arrow(pc.cast(batch["user_id"].combine_chunks(), pa.string()))
+        idx = (h >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = h & np.uint64((1 << _HLL_WBITS) - 1)
+        # exact bit length: w < 2^52 is exactly representable in
+        # float64, so frexp's exponent IS bit_length (no log2 ulp risk)
+        rho = (_HLL_MAXRHO - np.frexp(w.astype(np.float64))[1]).astype(np.uint8)
+        regs = np.zeros((len(types), _HLL_M), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rho)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.maximum.reduce([np.frombuffer(b, dtype=np.uint8) for b in group["regs"].to_pylist()])
+        return pa.table(
+            {
+                "event_type": group["event_type"].slice(0, 1),
+                "n_users_est": pa.array([_hll_estimate(regs)], pa.int64()),
+            }
+        )
+
+    ds = _events_read(sf_dir, ["event_type", "user_id"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(merge, batch_format="pyarrow").sort("event_type")
 
 
 def event_type_stats(sf_dir: str):

@@ -32,7 +32,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "key",
-    ["events_tumbling_window", "events_sessionize", "events_type_stats", "ann_range_search"],
+    ["events_tumbling_window", "events_sessionize", "events_type_stats", "events_approx_distinct", "ann_range_search"],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
     import __ray_entry__ as entry
@@ -66,6 +66,29 @@ def test_session_gap_semantics(ray_session):
 
     n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
     assert int(out["n_events"].sum()) == n
+
+
+def test_hll_accuracy_vs_exact(ray_session):
+    """The sketch estimate lands within 5% of the exact distinct count
+    (p=12 -> ~1.6% std error; 5% is >3 sigma)."""
+    from polipus_ray.ops.windows import approx_distinct_users, event_type_stats
+
+    est = approx_distinct_users(SF).to_pandas().set_index("event_type")["n_users_est"]
+    exact = event_type_stats(SF).to_pandas().set_index("event_type")["n_users"]
+    for t in exact.index:
+        assert abs(int(est[t]) - int(exact[t])) <= max(2, 0.05 * int(exact[t])), (t, int(est[t]), int(exact[t]))
+
+
+def test_hll_linear_counting_cross_engine_exact():
+    """The ONLY float op the SQL oracle and numpy compute through
+    different libraries is ln() in the linear-counting branch; its
+    domain is the 4096 possible zero-register counts, so pin all of
+    them: floor(4096 * ln(4096 / V)) must agree for every V."""
+    import math
+
+    vals = duckdb.sql("SELECT v, CAST(floor(4096.0 * ln(4096.0 / v)) AS BIGINT) AS e FROM range(1, 4097) t(v)").fetchall()
+    for v, e in vals:
+        assert e == int(math.floor(4096.0 * math.log(4096.0 / v))), v
 
 
 def test_tumbling_window_conserves_events(ray_session):
