@@ -135,6 +135,10 @@ def bench_ops() -> dict:
     timed("ann_cosine_topk", lambda: ann_topk_bruteforce(SF_DIR, k=5, num_queries=10))
     timed("text_token_counts", lambda: token_counts(SF_DIR))
     timed("text_quality", lambda: quality_stats(SF_DIR))
+    from polipus_ray.ops.windows import approx_distinct_users, tumbling_window
+
+    timed("events_tumbling_window", lambda: tumbling_window(SF_DIR))
+    timed("events_approx_distinct", lambda: approx_distinct_users(SF_DIR))
     return out
 
 

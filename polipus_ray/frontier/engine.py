@@ -1022,7 +1022,13 @@ class CrawlEngine:
             Fetcher,
             fn_constructor_kwargs=self._fetcher_kwargs(r, now, self._ensure_web_refs()),
             batch_format="pyarrow",
-            concurrency=self.cfg.resolved_fetch_concurrency(),
+            # autoscaling (1, W): a fixed pool size demands min=max
+            # actors before any group runs and can wedge the streaming
+            # executor when other actors hold CPUs (see
+            # ops.images.decode_stage); actor count never affects
+            # fetch semantics (groups are independent, order is
+            # driver-admitted)
+            concurrency=(1, self.cfg.resolved_fetch_concurrency()),
             # fractional: lookup-shaped stage; whole-CPU actors starve
             # the read/write tasks on small clusters
             num_cpus=0.5,

@@ -65,9 +65,15 @@ class DecodeVerify:
         )
 
 
-def decode_stage(ds, id_col: str = "doc_id", concurrency: int = 4, batch_size: int = 64):
+def decode_stage(ds, id_col: str = "doc_id", concurrency: int | tuple[int, int] = (1, 4), batch_size: int = 64):
     """Attach the decode/verify actor-pool stage to a dataset with a
-    ``bytes`` column.  Small batch_size: payload-heavy rows."""
+    ``bytes`` column.  Small batch_size: payload-heavy rows.
+
+    ``concurrency`` defaults to an AUTOSCALING range, not a fixed
+    size: a fixed int demands min=max actors before any batch runs,
+    and on a session where other actors hold CPUs (observed: leftover
+    hash-shuffle aggregators on a 4-CPU test session) the pool never
+    reaches its minimum and the streaming executor waits forever."""
     return ds.map_batches(
         DecodeVerify,
         fn_constructor_kwargs={"id_col": id_col},

@@ -67,7 +67,10 @@ class ImageResize:
         )
 
 
-def resize_stage(ds, out_w: int = 16, out_h: int = 16, id_col: str = "doc_id", concurrency: int = 4):
+def resize_stage(ds, out_w: int = 16, out_h: int = 16, id_col: str = "doc_id", concurrency: int | tuple[int, int] = (1, 4)):
+    # autoscaling (min, max) rather than a fixed pool size: see
+    # images.decode_stage — a fixed min can deadlock the executor when
+    # other actors already hold the session's CPUs
     return ds.map_batches(
         ImageResize,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "id_col": id_col},
@@ -173,11 +176,11 @@ class VideoFrameSample:
         )
 
 
-def audio_stage(ds, id_col: str = "doc_id", concurrency: int = 2):
+def audio_stage(ds, id_col: str = "doc_id", concurrency: int | tuple[int, int] = (1, 2)):
     return ds.map_batches(AudioDecode, fn_constructor_kwargs={"id_col": id_col}, batch_format="pyarrow", batch_size=64, concurrency=concurrency)
 
 
-def video_stage(ds, every_k: int = 4, id_col: str = "doc_id", concurrency: int = 2):
+def video_stage(ds, every_k: int = 4, id_col: str = "doc_id", concurrency: int | tuple[int, int] = (1, 2)):
     return ds.map_batches(
         VideoFrameSample, fn_constructor_kwargs={"every_k": every_k, "id_col": id_col}, batch_format="pyarrow", batch_size=16, concurrency=concurrency
     )
