@@ -59,7 +59,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from polipus_ray.ops.ann import ann_range_search
     from polipus_ray.ops.text import fingerprints, lang_id, quality_stats, token_counts
-    from polipus_ray.ops.windows import approx_distinct_users, event_type_stats, session_windows, tumbling_window
+    from polipus_ray.ops.windows import (
+        approx_distinct_users,
+        event_type_stats,
+        hopping_window,
+        session_windows,
+        top_users_per_type,
+        tumbling_window,
+    )
     from polipus_ray.pipelines import crawl_queries as cq
 
     return {
@@ -89,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": fingerprints,
         # event-time windowed aggregates over the events table
         "events_tumbling_window": lambda sf: tumbling_window(sf, window_s=3600),
+        "events_hopping_window": lambda sf: hopping_window(sf, window_s=3600, hop_s=900),
+        "events_top_users": lambda sf: top_users_per_type(sf, k=3),
         "events_sessionize": lambda sf: session_windows(sf, gap_s=14400),
         "events_type_stats": event_type_stats,
         # HLL sketch (approximate by design, but integer-exact
@@ -360,6 +369,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_hopping_window": """
+            SELECT win_us, event_type, count(*) AS n_events FROM (
+              SELECT (epoch_us(ts) // 900000000) * 900000000 - j.j * 900000000 AS win_us,
+                     event_type
+              FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) j
+            ) WHERE win_us >= 0
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_top_users": """
+            SELECT event_type, user_id, n_events, rank FROM (
+              SELECT event_type, user_id, count(*) AS n_events,
+                     row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rank
+              FROM events GROUP BY event_type, user_id
+            ) WHERE rank <= 3 ORDER BY event_type, rank
         """,
         "events_sessionize": """
             WITH e AS (

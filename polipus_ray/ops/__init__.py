@@ -9,13 +9,22 @@ from .ann import ann_range_search, ann_topk_bruteforce, ann_topk_ivf
 from .dedup import embedding_dup_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
 from .images import decode_stage, phash_neardup_keep_first
 from .text import fingerprints, lang_id, quality_stats, token_counts
-from .windows import approx_distinct_users, event_type_stats, session_windows, tumbling_window
+from .windows import (
+    approx_distinct_users,
+    event_type_stats,
+    hopping_window,
+    session_windows,
+    top_users_per_type,
+    tumbling_window,
+)
 
 __all__ = [
     "ann_range_search",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "tumbling_window",
+    "hopping_window",
+    "top_users_per_type",
     "session_windows",
     "event_type_stats",
     "approx_distinct_users",

@@ -111,6 +111,114 @@ def tumbling_window(sf_dir: str, window_s: int = 3600):
     )
 
 
+def hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Hopping (sliding) windows: each event lands in
+    ``window_s / hop_s`` overlapping windows.  Same map-side partial
+    pattern as ``tumbling_window`` with the event replicated across
+    its k hop offsets INSIDE the batch kernel (a tiled bincount, not a
+    row explode), so the shuffle still carries only (window, type)
+    partial rows — amplification k shows up as k-fold more partial
+    keys, never as k-fold event rows."""
+    import ray.data  # noqa: F401
+
+    win_us = int(window_s) * 1_000_000
+    hop_us = int(hop_s) * 1_000_000
+    if win_us % hop_us:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = win_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"])
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        # window starts containing ts: last hop-aligned start <= ts,
+        # going back k hops (clipped below 0 like the SQL oracle)
+        base = (ts // hop_us) * hop_us
+        starts = base[None, :] - (np.arange(k, dtype=np.int64) * hop_us)[:, None]  # (k, n)
+        valid = starts >= 0
+        wu, winv = np.unique(starts[valid], return_inverse=True)
+        comp = winv * len(types) + np.broadcast_to(codes, (k, len(codes)))[valid]
+        n = np.bincount(comp, minlength=len(wu) * len(types))
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "win_us": pa.array(wu[nz // len(types)], pa.int64()),
+                "event_type": pa.array([types[i] for i in (nz % len(types))], pa.string()),
+                "n_events": pa.array(n[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "win_us": batch["win_us"],
+                "event_type": batch["event_type"],
+                "n_events": batch["sum(n_events)"].cast(pa.int64()),
+            }
+        )
+
+    ds = _events_read(sf_dir, ["ts", "event_type"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["win_us", "event_type"])
+        .aggregate(Sum("n_events"))
+        .map_batches(rename, batch_format="pyarrow")
+        .sort(["win_us", "event_type"])
+    )
+
+
+def top_users_per_type(sf_dir: str, k: int = 3):
+    """Top-k users by event count per event_type (ties broken by
+    ascending user_id).  The (type, user) count is a narrow two-level
+    aggregate (map-side pair partials, then Sum); the per-type top-k
+    is a map_groups over the already-collapsed pair rows — the
+    bounded-output pattern (shuffle carries distinct pairs, output
+    carries k rows per type)."""
+    import ray.data  # noqa: F401
+
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        uid = batch["user_id"].to_numpy()
+        pairs, counts = np.unique(np.stack([codes, uid], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array([types[c] for c in pairs[:, 0]], pa.string()),
+                "user_id": pa.array(pairs[:, 1], pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        n = group["sum(n)"].to_numpy().astype(np.int64)
+        uid = group["user_id"].to_numpy()
+        order = np.lexsort((uid, -n))[:k]
+        return pa.table(
+            {
+                "event_type": group["event_type"].take(pa.array(order)),
+                "user_id": pa.array(uid[order], pa.int64()),
+                "n_events": pa.array(n[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    ds = _events_read(sf_dir, ["event_type", "user_id"])
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n"))
+        .groupby("event_type")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["event_type", "rank"])
+    )
+
+
 def session_windows(sf_dir: str, gap_s: int = 14400):
     """Per-user gap sessions: a new session starts when the gap to the
     previous event (event-time order, event_id tie-break) exceeds

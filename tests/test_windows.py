@@ -32,7 +32,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "key",
-    ["events_tumbling_window", "events_sessionize", "events_type_stats", "events_approx_distinct", "ann_range_search"],
+    [
+        "events_tumbling_window",
+        "events_hopping_window",
+        "events_top_users",
+        "events_sessionize",
+        "events_type_stats",
+        "events_approx_distinct",
+        "ann_range_search",
+    ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
     import __ray_entry__ as entry
