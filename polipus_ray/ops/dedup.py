@@ -488,15 +488,52 @@ def hamming_pairs_vec(uniq_ids: np.ndarray, hs: np.ndarray, max_hamming: int, ch
     return np.concatenate(A), np.concatenate(B)
 
 
+def _distinct_ab(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized distinct over parallel (a, b) int64 arrays:
+    lexsort + adjacent-diff mask (no per-pair Python)."""
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    keep = np.ones(len(a_s), dtype=bool)
+    keep[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    return a_s[keep], b_s[keep]
+
+
 def _dedup_pairs_ds(pairs_ds):
-    """Distinct (a, b) pairs via a vectorized count aggregate (one
-    call per block) rather than map_groups (one python call per pair)."""
-    from ray.data.aggregate import Count
+    """Distinct (a, b) pairs.  Two stages, both vectorized:
 
-    def drop_count(batch: pa.Table) -> pa.Table:
-        return batch.select(["a", "b"])
+    - map-side combine: each block drops its own duplicates and tags
+      survivors with a mixed-hash bucket ``pk`` (bounded, cpu-derived
+      count) — same-pair rows from different bands/blocks all land in
+      one bucket;
+    - ``groupby(pk).map_groups``: lexsort adjacent-diff distinct per
+      bucket.
 
-    return pairs_ds.groupby(["a", "b"]).aggregate(Count()).map_batches(drop_count, batch_format="pyarrow")
+    NOT ``groupby(["a","b"]).aggregate(Count)``: a pair-dedup makes one
+    GROUP PER DISTINCT PAIR, and Ray's aggregate pays per-group
+    overhead — measured 72 s for a 4.2M-pair / 1.7M-group dedup at 32
+    CPUs vs ~2 s through this bounded-bucket path (the shuffle moves
+    the same rows either way; the group count is what kills it)."""
+    nb = join_partitions(None)
+    mix = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+    def local(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        a, b = _distinct_ab(a, b)
+        pk = ((a.view(np.uint64) * mix) ^ b.view(np.uint64)) % np.uint64(nb)
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()), "pk": pa.array(pk.astype(np.int32), pa.int32())}
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        a, b = _distinct_ab(group["a"].to_numpy(), group["b"].to_numpy())
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    return (
+        pairs_ds.map_batches(local, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
 
 
 def _docs_read(sf_dir: str):
