@@ -618,6 +618,7 @@ def _jaccard_verify_join(
     ``cand`` may carry multi-band duplicate pairs: the driver path
     dedups in numpy, the join path with the distinct-shuffle — so the
     small path never pays the extra groupby."""
+    n_pairs = None
     if driver_id_limit > 0:
         cand = cand.materialize()
         n_pairs = cand.count()
@@ -651,7 +652,9 @@ def _jaccard_verify_join(
                 return ray.data.from_arrow(
                     pa.table({"a": pa.array(A[keep], pa.int64()), "b": pa.array(B[keep], pa.int64())})
                 )
-    num_partitions = num_partitions or join_partitions(rows)
+    # size the joins from their bigger side: the candidate pairs when
+    # known (materialized above), else the corpus row count
+    num_partitions = num_partitions or join_partitions(max(n_pairs or 0, rows or 0) or None)
     cand = _dedup_pairs_ds(cand)
     j = cand.join(sigs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("doc_id",))
     j = j.join(sigs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc_id",), right_suffix="_b")
@@ -998,9 +1001,12 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         return pa.table({"doc_id": batch["vec_id"], "sig": pa.array([row.tobytes() for row in M], pa.binary())})
 
-    cand = _banded_pairs(ds.map_batches(sig_stage, batch_format="pyarrow"), ["band_id", "band_key"])
+    # the joins' bigger side is the CANDIDATE PAIRS, not the corpus
+    # (degenerate banding can make pairs ~quadratic in corpus rows) —
+    # size the hash-join partitions from the materialized pair count
+    cand = _banded_pairs(ds.map_batches(sig_stage, batch_format="pyarrow"), ["band_id", "band_key"]).materialize()
     vecs = ds.map_batches(packed_vecs, batch_format="pyarrow")
-    nparts = join_partitions(_parquet_rows(f"{sf_dir}/embeddings.parquet"))
+    nparts = join_partitions(max(cand.count(), _parquet_rows(f"{sf_dir}/embeddings.parquet") or 0))
     j = cand.join(vecs, join_type="inner", num_partitions=nparts, on=("a",), right_on=("doc_id",))
     j = j.join(vecs, join_type="inner", num_partitions=nparts, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
