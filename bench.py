@@ -139,6 +139,22 @@ def bench_ops() -> dict:
 
     timed("events_tumbling_window", lambda: tumbling_window(SF_DIR))
     timed("events_approx_distinct", lambda: approx_distinct_users(SF_DIR))
+    # the rest of the query surface (same params as __ray_entry__)
+    from polipus_ray.ops.ann import ann_range_search, ann_topk_ivf
+    from polipus_ray.ops.dedup import embedding_dup_pairs_lsh, ngram_jaccard_pairs
+    from polipus_ray.ops.text import fingerprints, lang_id
+    from polipus_ray.ops.windows import event_type_stats, hopping_window, session_windows, top_users_per_type
+
+    timed("dedup_ngram_jaccard", lambda: ngram_jaccard_pairs(SF_DIR, n=3, threshold=0.5))
+    timed("dedup_embedding_lsh", lambda: embedding_dup_pairs_lsh(SF_DIR, threshold=0.42, band_bits=4))
+    timed("ann_ivf_topk", lambda: ann_topk_ivf(SF_DIR, k=5, num_queries=10, nlist=8, nprobe=5))
+    timed("ann_range_search", lambda: ann_range_search(SF_DIR, threshold=0.3, num_queries=10))
+    timed("text_lang_id", lambda: lang_id(SF_DIR))
+    timed("text_fingerprint", lambda: fingerprints(SF_DIR))
+    timed("events_hopping_window", lambda: hopping_window(SF_DIR))
+    timed("events_top_users", lambda: top_users_per_type(SF_DIR, k=3))
+    timed("events_sessionize", lambda: session_windows(SF_DIR))
+    timed("events_type_stats", lambda: event_type_stats(SF_DIR))
     return out
 
 
