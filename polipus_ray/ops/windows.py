@@ -14,14 +14,15 @@ classes).  All three are expressed Ray-Data-first:
   bit-exact vs the SQL oracle (float sums would drift with
   reduction order).
 
-- ``session_windows``: gap-based sessionization.  Hash-partition by
-  ``user_id`` (``groupby.map_groups``), then a fully vectorized
-  per-user pass (lexsort -> diff -> boundary flags -> reduceat-style
-  slicing).  Scale note: a session split is inherently serial per
-  key, so one pathological user concentrates one group's work — the
-  same skew class as a hot host in the crawl; bound it upstream with
-  a per-user event cap or pre-split by (user_id, coarse time) when a
-  key can exceed a block.
+- ``session_windows``: gap-based sessionization.  Hash-bucket by
+  ``user_id`` into a BOUNDED number of groups (``_bucket_tag`` — not
+  one Ray group per user; the user count is unbounded at corpus
+  scale), then a fully vectorized multi-user pass per bucket (lexsort
+  -> diff -> boundary flags).  Scale note: a session split is
+  inherently serial per key, so one pathological user concentrates
+  one bucket's work — the same skew class as a hot host in the crawl;
+  bound it upstream with a per-user event cap or pre-split by
+  (user_id, coarse time) when a key can exceed a block.
 
 - ``event_type_stats``: distinct-count aggregate (users per type).
   Two narrow shuffles: batch-level distinct (event_type, user_id)
@@ -56,6 +57,55 @@ def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.cast(pa.int64()).to_numpy() if hasattr(col, "cast") else np.asarray(col, dtype=np.int64)
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _bucket_tag(ds, int_col: str, nb: int):
+    """Append a bounded hash-bucket column ``pk`` derived from
+    ``int_col`` — the shuffle key for the grouped reductions below.
+    NOT ``groupby(<the real keys>)``: Ray pays per-group overhead, and
+    the real key sets here (user ids, (window, type) pairs) are
+    unbounded at corpus scale; ``nb`` hash buckets keep the group
+    count fixed while the per-bucket reduction stays one vectorized
+    pass."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[int_col].to_numpy().astype(np.int64, copy=False)
+        pk = ((v.view(np.uint64) * _MIX) >> np.uint64(17)) % np.uint64(nb)
+        return batch.append_column("pk", pa.array(pk.astype(np.int32), pa.int32()))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("pk")
+
+
+def _bucketed_sum(ds, int_col: str, str_col: str, sum_cols: list[str]):
+    """Exact integer sums per (int_col, str_col) group through a
+    BOUNDED bucket shuffle: rows hash-bucket on ``int_col`` (every row
+    of one group lands in one bucket), and each bucket folds its
+    groups with one lexsort + ``np.add.reduceat`` — no per-group Ray
+    aggregate, no per-group Python call."""
+    from polipus_ray.ops.dedup import join_partitions
+
+    def agg(group: pa.Table) -> pa.Table:
+        iv = group[int_col].to_numpy()
+        enc = pc.dictionary_encode(group[str_col].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((codes, iv))
+        iv_s, c_s = iv[order], codes[order]
+        new = np.ones(len(iv_s), dtype=bool)
+        new[1:] = (iv_s[1:] != iv_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new)
+        cols: dict[str, pa.Array] = {
+            int_col: pa.array(iv_s[starts], pa.int64()),
+            str_col: enc.dictionary.take(pa.array(c_s[starts])),
+        }
+        for sc in sum_cols:
+            v = group[sc].to_numpy().astype(np.int64)[order]
+            cols[sc] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    return _bucket_tag(ds, int_col, join_partitions(None)).map_groups(agg, batch_format="pyarrow")
+
+
 def tumbling_window(sf_dir: str, window_s: int = 3600):
     """Count + exact value sum per (tumbling window, event_type)."""
     import ray.data  # noqa: F401
@@ -86,28 +136,13 @@ def tumbling_window(sf_dir: str, window_s: int = 3600):
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "win_us": batch["win_us"],
-                "event_type": batch["event_type"],
-                "n_events": batch["sum(n_events)"].cast(pa.int64()),
-                "sum_value_cents": batch["sum(sum_value_cents)"].cast(pa.int64()),
-            }
-        )
-
-    # vectorized hash aggregate over the partials (one python call per
-    # BLOCK, not per window group — the group count is unbounded at
-    # corpus scale)
+    # bounded-bucket merge of the partials: the (window, type) group
+    # count is unbounded at corpus scale, so the shuffle keys on a
+    # fixed bucket count and each bucket folds its groups vectorized
     ds = _events_read(sf_dir, ["ts", "event_type", "value"])
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["win_us", "event_type"])
-        .aggregate(Sum("n_events"), Sum("sum_value_cents"))
-        .map_batches(rename, batch_format="pyarrow")
-        .sort(["win_us", "event_type"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed_sum(partials, "win_us", "event_type", ["n_events", "sum_value_cents"]).sort(
+        ["win_us", "event_type"]
     )
 
 
@@ -149,25 +184,9 @@ def hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "win_us": batch["win_us"],
-                "event_type": batch["event_type"],
-                "n_events": batch["sum(n_events)"].cast(pa.int64()),
-            }
-        )
-
     ds = _events_read(sf_dir, ["ts", "event_type"])
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["win_us", "event_type"])
-        .aggregate(Sum("n_events"))
-        .map_batches(rename, batch_format="pyarrow")
-        .sort(["win_us", "event_type"])
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed_sum(partials, "win_us", "event_type", ["n_events"]).sort(["win_us", "event_type"])
 
 
 def top_users_per_type(sf_dir: str, k: int = 3):
@@ -178,8 +197,6 @@ def top_users_per_type(sf_dir: str, k: int = 3):
     bounded-output pattern (shuffle carries distinct pairs, output
     carries k rows per type)."""
     import ray.data  # noqa: F401
-
-    from ray.data.aggregate import Sum
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
@@ -196,7 +213,7 @@ def top_users_per_type(sf_dir: str, k: int = 3):
         )
 
     def topk(group: pa.Table) -> pa.Table:
-        n = group["sum(n)"].to_numpy().astype(np.int64)
+        n = group["n"].to_numpy().astype(np.int64)
         uid = group["user_id"].to_numpy()
         order = np.lexsort((uid, -n))[:k]
         return pa.table(
@@ -209,14 +226,10 @@ def top_users_per_type(sf_dir: str, k: int = 3):
         )
 
     ds = _events_read(sf_dir, ["event_type", "user_id"])
-    return (
-        ds.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum("n"))
-        .groupby("event_type")
-        .map_groups(topk, batch_format="pyarrow")
-        .sort(["event_type", "rank"])
-    )
+    pair_counts = _bucketed_sum(ds.map_batches(pair_partial, batch_format="pyarrow"), "user_id", "event_type", ["n"])
+    # per-type top-k over the collapsed pairs: the group count here is
+    # the (small, bounded) type cardinality, so a per-group call is fine
+    return pair_counts.groupby("event_type").map_groups(topk, batch_format="pyarrow").sort(["event_type", "rank"])
 
 
 def session_windows(sf_dir: str, gap_s: int = 14400):
@@ -247,8 +260,15 @@ def session_windows(sf_dir: str, gap_s: int = 14400):
             }
         )
 
+    from polipus_ray.ops.dedup import join_partitions
+
+    # hash-bucket on user_id rather than groupby(user_id): the user
+    # count is unbounded at corpus scale (one Ray group per user), and
+    # per_user already splits multiple users inside one group via the
+    # (uid, ts) lexsort + uid-change boundaries
     ds = _events_read(sf_dir, ["event_id", "ts", "user_id"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow").sort(["user_id", "session_start_us"])
+    grouped = _bucket_tag(ds, "user_id", join_partitions(None))
+    return grouped.map_groups(per_user, batch_format="pyarrow").sort(["user_id", "session_start_us"])
 
 
 _HLL_P = 12
@@ -341,14 +361,14 @@ def event_type_stats(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def pair_stats(batch: pa.Table) -> pa.Table:
-        # level-2 partial: the level-1 aggregate already made
+        # level-2 partial: the level-1 bucketed sum already made
         # (event_type, user_id) unique, so per-type users/events are a
         # vectorized count/sum per block
         enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
         codes = enc.indices.to_numpy().astype(np.int64)
         types = enc.dictionary.to_pylist()
         users = np.bincount(codes, minlength=len(types))
-        ev = np.bincount(codes, weights=batch["sum(n)"].to_numpy().astype(np.float64), minlength=len(types))
+        ev = np.bincount(codes, weights=batch["n"].to_numpy().astype(np.float64), minlength=len(types))
         return pa.table(
             {
                 "event_type": pa.array(types, pa.string()),
@@ -366,12 +386,14 @@ def event_type_stats(sf_dir: str):
             }
         )
 
+    # level 1 (pair collapse) through the bounded bucket shuffle —
+    # distinct (type, user) pairs are unbounded at corpus scale; the
+    # final per-type fold has only |types| groups, so Ray's aggregate
+    # is fine there
     ds = _events_read(sf_dir, ["event_type", "user_id"])
+    pairs = _bucketed_sum(ds.map_batches(pair_partial, batch_format="pyarrow"), "user_id", "event_type", ["n"])
     return (
-        ds.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum("n"))
-        .map_batches(pair_stats, batch_format="pyarrow")
+        pairs.map_batches(pair_stats, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Sum("n_users"), Sum("n_events"))
         .map_batches(rename, batch_format="pyarrow")
