@@ -597,6 +597,45 @@ def _unpack_u64(b: bytes) -> np.ndarray:
     return np.frombuffer(b, dtype=np.uint64)
 
 
+def _jaccard_keep(A: np.ndarray, sigs_a: list, sigs_b: list, threshold: float) -> np.ndarray:
+    """Keep mask for pair rows by exact Jaccard of their (sorted
+    unique uint64) gram sets.  NOT one ``intersect1d`` per pair: rows
+    are grouped into runs sharing the same left doc, and each run does
+    ONE ``searchsorted`` of its concatenated partner sets into the
+    shared left set + one cumsum-difference for the per-partner
+    intersection counts — the candidate generator emits many partners
+    per doc, so the per-pair Python overhead amortizes to ~one C call
+    per run."""
+    m = len(A)
+    keep = np.zeros(m, dtype=bool)
+    if not m:
+        return keep
+    order = np.argsort(A, kind="stable")
+    bounds = np.flatnonzero(np.diff(A[order])) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [m]])
+    for s0, e0 in zip(starts, ends):
+        rows = order[s0:e0]
+        s1 = sigs_a[rows[0]]
+        partners = [sigs_b[r] for r in rows]
+        sizes = np.fromiter((len(p) for p in partners), np.int64, len(rows))
+        offs = np.cumsum(sizes) - sizes
+        cat = np.concatenate(partners) if sizes.sum() else np.empty(0, np.uint64)
+        if len(cat) and len(s1):
+            pos = np.searchsorted(s1, cat)
+            np.clip(pos, 0, len(s1) - 1, out=pos)
+            hits = s1[pos] == cat
+            # segment sums via cumsum differences (exact for empty
+            # segments, unlike reduceat's equal-offset quirk)
+            c = np.concatenate([[0], np.cumsum(hits, dtype=np.int64)])
+            inter = c[offs + sizes] - c[offs]
+        else:
+            inter = np.zeros(len(rows), np.int64)
+        union = len(s1) + sizes - inter
+        keep[rows] = np.where(union > 0, inter / np.maximum(union, 1), 1.0) >= threshold
+    return keep
+
+
 def _jaccard_verify_join(
     cand, sigs, threshold: float, num_partitions: int | None = None, rows: int | None = None, driver_id_limit: int = 20_000
 ):
@@ -643,12 +682,7 @@ def _jaccard_verify_join(
                 for blk in sigs.map_batches(pick, batch_format="pyarrow").iter_batches(batch_size=4096, batch_format="pyarrow"):
                     for did, sb in zip(blk["doc_id"].to_pylist(), blk["sig"].to_pylist()):
                         smap[did] = _unpack_u64(sb)
-                keep = np.zeros(len(A), dtype=bool)
-                for k in range(len(A)):
-                    s1, s2 = smap[int(A[k])], smap[int(B[k])]
-                    inter = np.intersect1d(s1, s2, assume_unique=True).size
-                    union = s1.size + s2.size - inter
-                    keep[k] = (inter / union if union else 1.0) >= threshold
+                keep = _jaccard_keep(A, [smap[int(a)] for a in A], [smap[int(b)] for b in B], threshold)
                 return ray.data.from_arrow(
                     pa.table({"a": pa.array(A[keep], pa.int64()), "b": pa.array(B[keep], pa.int64())})
                 )
@@ -660,12 +694,9 @@ def _jaccard_verify_join(
     j = j.join(sigs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        keep = []
-        for sa, sb in zip(batch["sig"].to_pylist(), batch["sig_b"].to_pylist()):
-            s1, s2 = _unpack_u64(sa), _unpack_u64(sb)
-            inter = np.intersect1d(s1, s2, assume_unique=True).size
-            union = s1.size + s2.size - inter
-            keep.append((inter / union if union else 1.0) >= threshold)
+        sigs_a = [_unpack_u64(sb) for sb in batch["sig"].to_pylist()]
+        sigs_b = [_unpack_u64(sb) for sb in batch["sig_b"].to_pylist()]
+        keep = _jaccard_keep(batch["a"].to_numpy(), sigs_a, sigs_b, threshold)
         return batch.filter(pa.array(keep)).select(["a", "b"])
 
     return verify_sorted(j.map_batches(verify, batch_format="pyarrow"))

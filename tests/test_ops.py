@@ -452,3 +452,36 @@ def test_gram_hashes_batch_matches_scalar():
         got = _gram_hashes_batch(texts, n)
         for t, g in zip(texts, got):
             assert (g == _gram_hashes(t, n)).all(), (n, repr(t[:20]))
+
+
+def test_jaccard_keep_matches_per_pair():
+    """Fuzz the run-grouped Jaccard verify kernel against the scalar
+    intersect1d definition, including empty sets and empty trailing
+    partners (the cumsum segment sums must not borrow hits across
+    segment boundaries the way reduceat's equal-offset quirk does)."""
+    import numpy as np
+
+    from polipus_ray.ops.dedup import _jaccard_keep
+
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        m = int(rng.integers(0, 40))
+        A = rng.integers(0, 6, m).astype(np.int64)
+        sa, sb = [], []
+        first: dict[int, int] = {}
+        for k in range(m):
+            n1, n2 = rng.integers(0, 12, 2)
+            sa.append(np.unique(rng.integers(0, 30, n1).astype(np.uint64)))
+            sb.append(np.unique(rng.integers(0, 30, n2).astype(np.uint64)))
+            a = int(A[k])
+            if a in first:  # rows of one left doc share its gram set
+                sa[k] = sa[first[a]]
+            else:
+                first[a] = k
+        thr = float(rng.uniform(0, 1))
+        got = _jaccard_keep(A, sa, sb, thr)
+        for k in range(m):
+            inter = np.intersect1d(sa[k], sb[k], assume_unique=True).size
+            union = sa[k].size + sb[k].size - inter
+            want = (inter / union if union else 1.0) >= thr
+            assert got[k] == want
