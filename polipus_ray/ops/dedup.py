@@ -1036,8 +1036,44 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
     # (degenerate banding can make pairs ~quadratic in corpus rows) —
     # size the hash-join partitions from the materialized pair count
     cand = _banded_pairs(ds.map_batches(sig_stage, batch_format="pyarrow"), ["band_id", "band_key"]).materialize()
+    n_vecs = _parquet_rows(f"{sf_dir}/embeddings.parquet") or 0
+
+    # adaptive verify, the Jaccard dual-path pattern: when the
+    # normalized matrix fits a broadcast budget (~64 MB), ray.put it
+    # once and verify candidates with a row-gather + einsum inside
+    # map_batches — no sig shuffle at all (the joins move ~1 KB of
+    # packed vectors per PAIR, which dwarfs the corpus when banding
+    # degenerates).  Above the budget: distributed double hash join.
+    if n_vecs and n_vecs * dim * 8 <= 64 << 20:
+        import ray
+
+        def norm_block(t: pa.Table):
+            ids = t["vec_id"].to_numpy()
+            M = emb_matrix(t["embedding"])
+            return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
+        ids_all, M_all = [], []
+        for blk in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            i, m = norm_block(blk)
+            ids_all.append(i)
+            M_all.append(m)
+        ids_cat = np.concatenate(ids_all)
+        order = np.argsort(ids_cat)
+        mref = ray.put((ids_cat[order], np.concatenate(M_all)[order]))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.select(["a", "b"])
+            ids_s, M = ray.get(mref)
+            a = np.searchsorted(ids_s, batch["a"].to_numpy())
+            b = np.searchsorted(ids_s, batch["b"].to_numpy())
+            keep = np.einsum("ij,ij->i", M[a], M[b]) >= threshold
+            return batch.filter(pa.array(keep)).select(["a", "b"])
+
+        return verify_sorted(cand.map_batches(verify_bcast, batch_format="pyarrow"))
+
     vecs = ds.map_batches(packed_vecs, batch_format="pyarrow")
-    nparts = join_partitions(max(cand.count(), _parquet_rows(f"{sf_dir}/embeddings.parquet") or 0))
+    nparts = join_partitions(max(cand.count(), n_vecs))
     j = cand.join(vecs, join_type="inner", num_partitions=nparts, on=("a",), right_on=("doc_id",))
     j = j.join(vecs, join_type="inner", num_partitions=nparts, on=("b",), right_on=("doc_id",), right_suffix="_b")
 
