@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact_dedup,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        semantic_dup_pairs,
         simhash_pairs,
     )
     from polipus_ray.ops.ann import ann_range_search
@@ -107,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pins recall vs the exact operator; band_bits tuned to the
         # threshold — lower thresholds need shorter bands)
         "dedup_embedding_lsh": lambda sf: embedding_dup_pairs_lsh(sf, threshold=0.42, band_bits=4),
+        # SemDeDup-style cluster-scoped embedding dedup: k-means
+        # buckets as candidates, exact-cosine verify (oracle replays
+        # the same centroids as SQL literals)
+        "dedup_semantic": lambda sf: semantic_dup_pairs(sf, threshold=0.42, nlist=8),
     }
 
 
@@ -188,6 +193,37 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < {num_queries}
 ) WHERE rank <= {k}
 ORDER BY query_id, rank
+"""
+
+
+def _semantic_oracle_sql(sf_dir: str, threshold: float = 0.42, nlist: int = 8) -> str:
+    """SemDeDup-style cluster dedup replayed in DuckDB: the centroids
+    come from the SAME deterministic k-means the Ray pipeline trains
+    (polipus_ray/ops/ann.py _kmeans over _ivf_sample) on the SAME sf
+    dir, inlined as DOUBLE[] literals; DuckDB reproduces the
+    nearest-centroid assignment (ties to the lowest cid, matching
+    np.argmax's first-max) and the same-cluster exact-cosine pairs."""
+    from polipus_ray.ops.ann import _ivf_sample, _kmeans
+
+    C = _kmeans(_ivf_sample(sf_dir), nlist)
+    cent_rows = ",".join(f"({ci}, [{','.join(repr(float(x)) for x in C[ci])}]::DOUBLE[])" for ci in range(len(C)))
+    return f"""
+WITH cents(cid, c) AS (SELECT * FROM (VALUES {cent_rows}) t(cid, c)),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cents.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding, cents.c) DESC, cents.cid) AS rn
+    FROM embeddings e CROSS JOIN cents
+  ) WHERE rn = 1
+)
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM embeddings x
+JOIN asg ax ON ax.vec_id = x.vec_id
+JOIN embeddings y ON y.vec_id > x.vec_id
+JOIN asg ay ON ay.vec_id = y.vec_id AND ay.cid = ax.cid
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= {threshold}
+ORDER BY a, b
 """
 
 
@@ -538,6 +574,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     for name, builder in (
         ("ann_ivf_topk", _ivf_oracle_sql),
         ("dedup_embedding_lsh", _embedding_lsh_oracle_sql),
+        ("dedup_semantic", _semantic_oracle_sql),
         ("crawl_phash_neardup", _phash_neardup_oracle_sql),
     ):
         try:

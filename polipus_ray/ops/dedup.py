@@ -988,6 +988,77 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
     return src.map_batches(stage, batch_format="pyarrow", batch_size=256).sort(["a", "b"])
 
 
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding width from file metadata only (no data read on the
+    driver; one row-group peek when the list type is unsized)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(f"{sf_dir}/embeddings.parquet")
+    dim = schema.field("embedding").type.list_size if hasattr(schema.field("embedding").type, "list_size") else None
+    if not dim:
+        t0 = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0, columns=["embedding"])
+        dim = len(t0["embedding"][0])
+    return dim
+
+
+def _cosine_verify_pairs(sf_dir: str, ds, cand, threshold: float, dim: int):
+    """Exact-cosine verification of candidate (a, b) pairs, shared by
+    the sign-LSH and semantic (cluster-bucketed) embedding dedups.
+
+    Adaptive dual path: when the normalized matrix fits a broadcast
+    budget (~64 MB), ``ray.put`` it once and verify candidates with a
+    row-gather + einsum inside map_batches — no vector shuffle at all
+    (the joins move ~1 KB of packed vectors per PAIR, which dwarfs the
+    corpus when banding degenerates).  Above the budget: distributed
+    double hash join on packed float64 vectors."""
+    n_vecs = _parquet_rows(f"{sf_dir}/embeddings.parquet") or 0
+
+    if n_vecs and n_vecs * dim * 8 <= 64 << 20:
+        import ray
+
+        ids_all, M_all = [], []
+        for blk in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            ids_all.append(blk["vec_id"].to_numpy())
+            M = emb_matrix(blk["embedding"])
+            M_all.append(M / np.linalg.norm(M, axis=1, keepdims=True))
+        ids_cat = np.concatenate(ids_all)
+        order = np.argsort(ids_cat)
+        mref = ray.put((ids_cat[order], np.concatenate(M_all)[order]))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.select(["a", "b"])
+            ids_s, M = ray.get(mref)
+            a = np.searchsorted(ids_s, batch["a"].to_numpy())
+            b = np.searchsorted(ids_s, batch["b"].to_numpy())
+            keep = np.einsum("ij,ij->i", M[a], M[b]) >= threshold
+            return batch.filter(pa.array(keep)).select(["a", "b"])
+
+        return verify_sorted(cand.map_batches(verify_bcast, batch_format="pyarrow"))
+
+    def packed_vecs(batch: pa.Table) -> pa.Table:
+        M = emb_matrix(batch["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pa.table({"doc_id": batch["vec_id"], "sig": pa.array([row.tobytes() for row in M], pa.binary())})
+
+    vecs = ds.map_batches(packed_vecs, batch_format="pyarrow")
+    nparts = join_partitions(max(cand.count(), n_vecs))
+    j = cand.join(vecs, join_type="inner", num_partitions=nparts, on=("a",), right_on=("doc_id",))
+    j = j.join(vecs, join_type="inner", num_partitions=nparts, on=("b",), right_on=("doc_id",), right_suffix="_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(["a", "b"])
+        # fixed-width packed float64 sigs: one frombuffer per column,
+        # then a vectorized row-wise dot (no per-pair Python)
+        A = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype=np.float64).reshape(batch.num_rows, -1)
+        B = np.frombuffer(b"".join(batch["sig_b"].to_pylist()), dtype=np.float64).reshape(batch.num_rows, -1)
+        keep = np.einsum("ij,ij->i", A, B) >= threshold
+        return batch.filter(pa.array(keep)).select(["a", "b"])
+
+    return verify_sorted(j.map_batches(verify, batch_format="pyarrow"))
+
+
 def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 128, band_bits: int = 8, seed: int = 5):
     """Approximate near-dup pairs: sign-bit random-hyperplane LSH
     banding for candidates, exact cosine verify via distributed join.
@@ -995,15 +1066,9 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
     corpus is never broadcast): recall < 1 by design (P[miss] =
     (1 - p^r)^b with p = 1 - theta/pi), pytest pins recall vs the
     exact operator on near-identical pairs; rows-only driver check."""
-    import pyarrow.parquet as pq
     import ray.data
 
-    # dimension from file metadata only (no data read on the driver)
-    schema = pq.read_schema(f"{sf_dir}/embeddings.parquet")
-    dim = schema.field("embedding").type.list_size if hasattr(schema.field("embedding").type, "list_size") else None
-    if not dim:
-        t0 = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(0, columns=["embedding"])
-        dim = len(t0["embedding"][0])
+    dim = _emb_dim(sf_dir)
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((dim, nplanes))
     bands = nplanes // band_bits
@@ -1027,64 +1092,52 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9, nplanes: int = 
             }
         )
 
-    def packed_vecs(batch: pa.Table) -> pa.Table:
-        M = emb_matrix(batch["embedding"])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        return pa.table({"doc_id": batch["vec_id"], "sig": pa.array([row.tobytes() for row in M], pa.binary())})
-
     # the joins' bigger side is the CANDIDATE PAIRS, not the corpus
     # (degenerate banding can make pairs ~quadratic in corpus rows) —
     # size the hash-join partitions from the materialized pair count
     cand = _banded_pairs(ds.map_batches(sig_stage, batch_format="pyarrow"), ["band_id", "band_key"]).materialize()
-    n_vecs = _parquet_rows(f"{sf_dir}/embeddings.parquet") or 0
+    return _cosine_verify_pairs(sf_dir, ds, cand, threshold, dim)
 
-    # adaptive verify, the Jaccard dual-path pattern: when the
-    # normalized matrix fits a broadcast budget (~64 MB), ray.put it
-    # once and verify candidates with a row-gather + einsum inside
-    # map_batches — no sig shuffle at all (the joins move ~1 KB of
-    # packed vectors per PAIR, which dwarfs the corpus when banding
-    # degenerates).  Above the budget: distributed double hash join.
-    if n_vecs and n_vecs * dim * 8 <= 64 << 20:
-        import ray
 
-        def norm_block(t: pa.Table):
-            ids = t["vec_id"].to_numpy()
-            M = emb_matrix(t["embedding"])
-            return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+def semantic_dup_pairs(sf_dir: str, threshold: float = 0.9, nlist: int = 8):
+    """SemDeDup-style cluster-scoped near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): deterministic k-means clusters over the
+    embedding space are the candidate buckets — only same-cluster
+    pairs are ever compared — then exact cosine >= ``threshold``
+    verifies each candidate.  Complements the sign-LSH op: one coarse
+    learned partition instead of many random bands, so candidate count
+    scales with cluster occupancy (recall < 1 when a dup pair
+    straddles a cluster boundary; pytest pins recall vs the exact op).
 
-        ids_all, M_all = [], []
-        for blk in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            i, m = norm_block(blk)
-            ids_all.append(i)
-            M_all.append(m)
-        ids_cat = np.concatenate(ids_all)
-        order = np.argsort(ids_cat)
-        mref = ray.put((ids_cat[order], np.concatenate(M_all)[order]))
+    Scale shape: k-means is trained once on a deterministic
+    distributed sample (ann._ivf_sample — never a full-table driver
+    read); assignment is one map-only matmul per batch against the
+    broadcast (ray.put) centroid matrix; candidate pairs go through
+    the shared bounded-bucket machinery (_banded_pairs), so a hot
+    cluster is chunked into <= 512-id sub-blocks instead of one
+    O(m^2) task; verification reuses the LSH op's broadcast-or-join
+    dual path."""
+    import ray
+    import ray.data
 
-        def verify_bcast(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.select(["a", "b"])
-            ids_s, M = ray.get(mref)
-            a = np.searchsorted(ids_s, batch["a"].to_numpy())
-            b = np.searchsorted(ids_s, batch["b"].to_numpy())
-            keep = np.einsum("ij,ij->i", M[a], M[b]) >= threshold
-            return batch.filter(pa.array(keep)).select(["a", "b"])
+    from polipus_ray.ops.ann import _ivf_sample, _kmeans
 
-        return verify_sorted(cand.map_batches(verify_bcast, batch_format="pyarrow"))
+    dim = _emb_dim(sf_dir)
+    C = _kmeans(_ivf_sample(sf_dir), nlist)
+    cref = ray.put(C)
 
-    vecs = ds.map_batches(packed_vecs, batch_format="pyarrow")
-    nparts = join_partitions(max(cand.count(), n_vecs))
-    j = cand.join(vecs, join_type="inner", num_partitions=nparts, on=("a",), right_on=("doc_id",))
-    j = j.join(vecs, join_type="inner", num_partitions=nparts, on=("b",), right_on=("doc_id",), right_suffix="_b")
+    def assign_stage(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        M = emb_matrix(batch["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cid = np.argmax(M @ C_.T, axis=1)  # first max == lowest cid on ties
+        return pa.table(
+            {
+                "band_key": pa.array(cid.astype(np.int64), pa.int64()),
+                "doc_id": batch["vec_id"],
+            }
+        )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.select(["a", "b"])
-        # fixed-width packed float64 sigs: one frombuffer per column,
-        # then a vectorized row-wise dot (no per-pair Python)
-        A = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype=np.float64).reshape(batch.num_rows, -1)
-        B = np.frombuffer(b"".join(batch["sig_b"].to_pylist()), dtype=np.float64).reshape(batch.num_rows, -1)
-        keep = np.einsum("ij,ij->i", A, B) >= threshold
-        return batch.filter(pa.array(keep)).select(["a", "b"])
-
-    return verify_sorted(j.map_batches(verify, batch_format="pyarrow"))
+    ds = _emb_read(sf_dir)
+    cand = _banded_pairs(ds.map_batches(assign_stage, batch_format="pyarrow"), ["band_key"]).materialize()
+    return _cosine_verify_pairs(sf_dir, ds, cand, threshold, dim)

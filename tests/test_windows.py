@@ -40,6 +40,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "events_type_stats",
         "events_approx_distinct",
         "ann_range_search",
+        "dedup_semantic",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
@@ -47,7 +48,10 @@ def test_new_queries_match_their_oracles(ray_session, key):
 
     got = entry.queries()[key](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
-    want = _oracle_con(SF).execute(entry.oracle_sql()[key]).df()
+    # pass SF explicitly: the data-derived oracles (IVF centroids,
+    # LSH hyperplanes, semantic k-means) must be built on the SAME sf
+    # dir the query runs on
+    want = _oracle_con(SF).execute(entry.oracle_sql(SF)[key]).df()
     got, want = _normalize(got), _normalize(want)
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) and len(got) > 0
