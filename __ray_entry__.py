@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from polipus_ray.ops.text import fingerprints, lang_id, quality_stats, token_counts
     from polipus_ray.ops.windows import (
         approx_distinct_users,
+        asof_join,
         event_type_stats,
         hopping_window,
         session_windows,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": lambda sf: hopping_window(sf, window_s=3600, hop_s=900),
         "events_top_users": lambda sf: top_users_per_type(sf, k=3),
         "events_sessionize": lambda sf: session_windows(sf, gap_s=14400),
+        "events_asof_join": lambda sf: asof_join(sf, left_type="purchase", right_type="view"),
         "events_type_stats": event_type_stats,
         # HLL sketch (approximate by design, but integer-exact
         # estimate arithmetic -> still value-hash-checkable in SQL)
@@ -435,6 +437,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, min(ts_us) AS session_start_us,
                    max(ts_us) AS session_end_us, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us
+        """,
+        # inclusive as-of: DuckDB ASOF JOIN picks the greatest v.ts
+        # satisfying p.ts >= v.ts per (user, purchase) — the same
+        # match the Ray op's forward-fill resolves
+        "events_asof_join": """
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                   epoch_us(v.ts) AS match_ts_us,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id
         """,
         "events_type_stats": """
             SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

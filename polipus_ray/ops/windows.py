@@ -339,6 +339,60 @@ def approx_distinct_users(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(merge, batch_format="pyarrow").sort("event_type")
 
 
+def asof_join(sf_dir: str, left_type: str = "purchase", right_type: str = "view"):
+    """Per-user event-time AS-OF join: each ``left_type`` event is
+    matched to the latest ``right_type`` event by the same user at or
+    before it (inclusive; DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``
+    semantics).  Unmatched left events are dropped (inner as-of).
+    Output: event_id, user_id, ts_us, match_ts_us, gap_us.
+
+    Scale shape: both sides are pruned to the two event types BEFORE
+    the shuffle (map-side filter on the projected read), then moved
+    ONCE by user-id hash bucket (_bucket_tag — bounded group count,
+    users are unbounded at corpus scale).  Inside a bucket, one
+    lexsort by (uid, ts, side) with rights ordered before lefts at
+    equal ts + a forward-fill of right-row indices
+    (np.maximum.accumulate) resolves every left row's match — the
+    filled index is the nearest preceding right row, and a uid
+    equality check drops fills that leaked across user boundaries.
+    No per-row Python anywhere."""
+    types = pa.array([left_type, right_type])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["event_type"], value_set=types))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ts = _ts_us(group["ts"])
+        uid = group["user_id"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        # side: rights sort before lefts at equal (uid, ts) -> inclusive
+        side = pc.equal(group["event_type"], left_type).to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ts, uid))
+        ts_s, uid_s, eid_s, is_left = ts[order], uid[order], eid[order], side[order]
+        n = len(order)
+        last_right = np.where(~is_left, np.arange(n), -1)
+        np.maximum.accumulate(last_right, out=last_right)
+        lefts = np.flatnonzero(is_left)
+        m = last_right[lefts]
+        ok = (m >= 0) & (uid_s[np.maximum(m, 0)] == uid_s[lefts])
+        lefts, m = lefts[ok], m[ok]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[lefts], pa.int64()),
+                "user_id": pa.array(uid_s[lefts], pa.int64()),
+                "ts_us": pa.array(ts_s[lefts], pa.int64()),
+                "match_ts_us": pa.array(ts_s[m], pa.int64()),
+                "gap_us": pa.array(ts_s[lefts] - ts_s[m], pa.int64()),
+            }
+        )
+
+    from polipus_ray.ops.dedup import join_partitions
+
+    ds = _events_read(sf_dir, ["event_id", "ts", "user_id", "event_type"]).map_batches(prune, batch_format="pyarrow")
+    grouped = _bucket_tag(ds, "user_id", join_partitions(None))
+    return grouped.map_groups(per_bucket, batch_format="pyarrow").sort("event_id")
+
+
 def event_type_stats(sf_dir: str):
     """Per event_type: exact distinct users + event count."""
     import ray.data  # noqa: F401

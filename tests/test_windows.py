@@ -39,6 +39,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "events_sessionize",
         "events_type_stats",
         "events_approx_distinct",
+        "events_asof_join",
         "ann_range_search",
         "dedup_semantic",
     ],
@@ -112,3 +113,54 @@ def test_tumbling_window_conserves_events(ray_session):
     n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
     assert int(out["n_events"].sum()) == n
     assert (out["win_us"] % (3600 * 1_000_000) == 0).all()
+
+
+def test_asof_join_edge_semantics(ray_session, tmp_path):
+    """Crafted edges vs DuckDB ASOF JOIN on the same table: a view at
+    EXACTLY the purchase ts (inclusive match), a purchase before any
+    view (dropped, inner as-of), two views sharing the match ts (same
+    match_ts either way), and interleaved users."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    US = 1_000_000
+    rows = [
+        # (event_id, ts_us, user_id, event_type)
+        (1, 100 * US, 1, "view"),
+        (2, 100 * US, 1, "purchase"),  # equal ts -> inclusive match
+        (3, 50 * US, 2, "purchase"),  # before any view -> dropped
+        (4, 60 * US, 2, "view"),
+        (5, 70 * US, 2, "view"),
+        (6, 70 * US, 2, "view"),  # duplicate match ts
+        (7, 80 * US, 2, "purchase"),
+        (8, 90 * US, 3, "purchase"),  # user with no views -> dropped
+        (9, 105 * US, 1, "purchase"),  # second purchase, same match
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "sfedge"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    from polipus_ray.ops.windows import asof_join
+
+    got = asof_join(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    import __ray_entry__ as entry
+
+    want = con.execute(entry.oracle_sql()["events_asof_join"]).df()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert list(got["event_id"]) == [2, 7, 9]  # 3 and 8 dropped
+    for c in got.columns:
+        assert (got[c].to_numpy().astype("int64") == want[c].to_numpy().astype("int64")).all(), c
