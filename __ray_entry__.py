@@ -59,11 +59,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         simhash_pairs,
     )
     from polipus_ray.ops.ann import ann_range_search
-    from polipus_ray.ops.text import fingerprints, lang_id, quality_stats, token_counts
+    from polipus_ray.ops.sample import sample_hash_pct, sample_stratified_topk
+    from polipus_ray.ops.text import fingerprints, lang_id, quality_stats, token_counts, vocab_stats
     from polipus_ray.ops.windows import (
         approx_distinct_users,
         asof_join,
         event_type_stats,
+        quantiles_by_type,
         hopping_window,
         session_windows,
         top_users_per_type,
@@ -96,12 +98,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": lambda sf: ann_range_search(sf, threshold=0.3, num_queries=10),
         "text_lang_id": lang_id,
         "text_fingerprint": fingerprints,
+        "text_vocab": vocab_stats,
+        "docs_sample_pct": lambda sf: sample_hash_pct(sf, pct=20),
+        "docs_sample_stratified": lambda sf: sample_stratified_topk(sf, k=10),
         # event-time windowed aggregates over the events table
         "events_tumbling_window": lambda sf: tumbling_window(sf, window_s=3600),
         "events_hopping_window": lambda sf: hopping_window(sf, window_s=3600, hop_s=900),
         "events_top_users": lambda sf: top_users_per_type(sf, k=3),
         "events_sessionize": lambda sf: session_windows(sf, gap_s=14400),
         "events_asof_join": lambda sf: asof_join(sf, left_type="purchase", right_type="view"),
+        # exact distributed quantiles (histogram sieve; DuckDB
+        # quantile_cont lerp bit-parity pinned by fuzz test)
+        "events_quantiles": lambda sf: quantiles_by_type(sf, qs=(0.5, 0.9, 0.99)),
         "events_type_stats": event_type_stats,
         # HLL sketch (approximate by design, but integer-exact
         # estimate arithmetic -> still value-hash-checkable in SQL)
@@ -438,6 +446,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    max(ts_us) AS session_end_us, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us
         """,
+        "events_quantiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         # inclusive as-of: DuckDB ASOF JOIN picks the greatest v.ts
         # satisfying p.ts >= v.ts per (user, purchase) — the same
         # match the Ray op's forward-fill resolves
@@ -516,6 +531,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT doc_id, CAST(bit_xor(v) & 9223372036854775807 AS BIGINT) AS fingerprint
             FROM sel GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_sample_pct": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 < 20
+        """,
+        "docs_sample_stratified": """
+            SELECT lang, doc_id, rank FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, doc_id
+                     ) AS rank
+              FROM documents
+            ) WHERE rank <= 10 ORDER BY lang, rank
+        """,
+        # vocab counts DISTINCT md5-u64 token hashes (the shared
+        # Python/SQL hash) — equal to distinct tokens modulo 64-bit
+        # md5 collisions, which the Ray side counts identically
+        "text_vocab": """
+            WITH toks AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+            )
+            SELECT lang,
+                   count(DISTINCT ('0x' || substr(md5(tok), 1, 16))::UBIGINT) AS vocab,
+                   count(*) AS n_tokens
+            FROM toks GROUP BY lang ORDER BY lang
         """,
         "text_lang_id": """
             WITH w AS (

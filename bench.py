@@ -155,6 +155,17 @@ def bench_ops() -> dict:
     timed("events_top_users", lambda: top_users_per_type(SF_DIR, k=3))
     timed("events_sessionize", lambda: session_windows(SF_DIR))
     timed("events_type_stats", lambda: event_type_stats(SF_DIR))
+    from polipus_ray.ops.dedup import semantic_dup_pairs
+    from polipus_ray.ops.sample import sample_hash_pct, sample_stratified_topk
+    from polipus_ray.ops.text import vocab_stats
+    from polipus_ray.ops.windows import asof_join, quantiles_by_type
+
+    timed("dedup_semantic", lambda: semantic_dup_pairs(SF_DIR, threshold=0.42, nlist=8))
+    timed("events_asof_join", lambda: asof_join(SF_DIR))
+    timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
+    timed("text_vocab", lambda: vocab_stats(SF_DIR))
+    timed("docs_sample_pct", lambda: sample_hash_pct(SF_DIR, pct=20))
+    timed("docs_sample_stratified", lambda: sample_stratified_topk(SF_DIR, k=10))
     return out
 
 

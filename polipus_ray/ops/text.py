@@ -166,3 +166,94 @@ def fingerprints(sf_dir: str):
     path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
     return ds.map_batches(_fp_batch, batch_format="pyarrow")
+
+
+_VOCAB_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def vocab_stats(sf_dir: str):
+    """Per-language vocabulary stats: exact distinct token count
+    (md5-u64 token hashes — the shared Python/SQL hash, so the DuckDB
+    oracle counts the SAME distinct values) plus total token count
+    (space-split, DuckDB ``string_split(text, ' ')`` semantics).
+
+    The one text op that shuffles — but only (lang, token-hash) pairs
+    already deduped per batch, never text.  Map side: one flat split
+    per batch, ONE vectorized md5 call over the flat token stream
+    (ops/md5vec.py), per-lang np.unique; token totals ride along as
+    sentinel rows (cnt > 0) so the whole thing is single-pass.
+    Distinct-fold happens in bounded hash buckets keyed by the
+    (lang, token) pair hash — group count fixed regardless of vocab
+    size — then a final tiny groupby(lang) (language count is bounded)
+    sums the per-bucket partials."""
+    import ray.data
+
+    from polipus_ray.ops.dedup import join_partitions, small_read_blocks
+    from polipus_ray.ops.md5vec import md5_u64_strs
+
+    nb = join_partitions(None)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        per_doc = [t.split(" ") for t in texts]
+        counts = np.fromiter((len(p) for p in per_doc), np.int64, len(per_doc))
+        th = md5_u64_strs([w for p in per_doc for w in p])
+        lang_of_tok = np.repeat(np.asarray(langs, dtype=object), counts)
+        out_lang: list = []
+        out_h: list = []
+        out_cnt: list = []
+        out_pk: list = []
+        for lg in sorted(set(langs)):
+            lg_h = md5_u64_strs([lg])[0]
+            u = np.unique(th[lang_of_tok == lg])
+            out_lang.append(np.full(len(u) + 1, lg, dtype=object))
+            out_h.append(np.concatenate([u, [np.uint64(0)]]))
+            # sentinel row: cnt = this batch's total tokens for lg
+            out_cnt.append(np.concatenate([np.zeros(len(u), np.int64), [counts[np.asarray(langs, dtype=object) == lg].sum()]]))
+            out_pk.append(np.concatenate([((u * _VOCAB_MIX) ^ lg_h) % np.uint64(nb), [lg_h % np.uint64(nb)]]))
+        return pa.table(
+            {
+                "lang": pa.array(np.concatenate(out_lang), pa.string()),
+                "tok_h": pa.array(np.concatenate(out_h).view(np.int64), pa.int64()),
+                "cnt": pa.array(np.concatenate(out_cnt), pa.int64()),
+                "pk": pa.array(np.concatenate(out_pk).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        langs = np.asarray(group["lang"].to_pylist(), dtype=object)
+        th = group["tok_h"].to_numpy()
+        cnt = group["cnt"].to_numpy()
+        out_lang, out_vocab, out_tokens = [], [], []
+        for lg in sorted(set(langs)):
+            sel = langs == lg
+            vocab_rows = sel & (cnt == 0)
+            out_lang.append(lg)
+            out_vocab.append(len(np.unique(th[vocab_rows])))
+            out_tokens.append(int(cnt[sel].sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "vocab_p": pa.array(out_vocab, pa.int64()),
+                "tokens_p": pa.array(out_tokens, pa.int64()),
+            }
+        )
+
+    def lang_fold(group: pa.Table) -> pa.Table:
+        langs = np.asarray(group["lang"].to_pylist(), dtype=object)
+        v = group["vocab_p"].to_numpy()
+        t = group["tokens_p"].to_numpy()
+        out_lang = sorted(set(langs))
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "vocab": pa.array([int(v[langs == lg].sum()) for lg in out_lang], pa.int64()),
+                "n_tokens": pa.array([int(t[langs == lg].sum()) for lg in out_lang], pa.int64()),
+            }
+        )
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["lang", "text"], override_num_blocks=small_read_blocks(path))
+    folded = ds.map_batches(explode, batch_format="pyarrow").groupby("pk").map_groups(bucket_fold, batch_format="pyarrow")
+    return folded.groupby("lang").map_groups(lang_fold, batch_format="pyarrow").sort("lang")

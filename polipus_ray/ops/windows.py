@@ -339,6 +339,186 @@ def approx_distinct_users(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(merge, batch_format="pyarrow").sort("event_type")
 
 
+def quantiles_by_type(sf_dir: str, qs: tuple = (0.5, 0.9, 0.99), bins: int = 4096, cap: int = 500_000, max_rounds: int = 6):
+    """EXACT per-type quantiles of ``value`` (DuckDB ``quantile_cont``
+    lerp semantics, ``s[lo]*(1-frac) + s[hi]*frac`` — bit-parity
+    fuzz-pinned in tests) via an iterative histogram sieve, never a
+    full sort and never an unbounded driver collect.
+
+    Rounds: (1) one map-only pass folds per-type count/min/max;
+    (2) while any type's candidate range holds > ``cap`` values, a
+    map-only histogram pass counts ``bins`` buckets over each type's
+    current [lo, hi] interval (plus the below-lo count, measured fresh
+    each round so no cross-round float-boundary bookkeeping), and the
+    driver narrows each type's interval to the bins containing the
+    needed order statistics; (3) a final gather pulls ONLY the
+    candidate bin values (<= cap per type) and reads the exact order
+    stats off a local sort.  Work per pass is map-only + a
+    bounded-size fold (type count is bounded); driver state is
+    O(types x bins) integers.  At 100 TB: passes = O(log_bins(n/cap)),
+    2-3 in practice."""
+    import ray
+    import ray.data
+
+    ds = _events_read(sf_dir, ["event_type", "value"])
+
+    def _pa_typed(arr: np.ndarray) -> pa.Array:
+        if arr.dtype == object:
+            return pa.array(arr, pa.string())
+        if arr.dtype.kind in "iu":
+            return pa.array(arr.astype(np.int64), pa.int64())
+        return pa.array(arr.astype(np.float64), pa.float64())
+
+    def _per_type(batch: pa.Table, fn):
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = batch["value"].to_numpy()
+        cols: dict[str, list] = {}
+        for t in sorted(set(types)):
+            for name, arr in fn(t, v[types == t]).items():
+                cols.setdefault(name, []).append(_pa_typed(np.asarray(arr)))
+        return pa.table({k: pa.concat_arrays(v_) for k, v_ in cols.items()})
+
+
+
+    def cmm(batch: pa.Table) -> pa.Table:
+        return _per_type(
+            batch,
+            lambda t, vv: {
+                "event_type": np.array([t], dtype=object),
+                "n": np.array([len(vv)], np.int64),
+                "mn": np.array([vv.min()], np.float64),
+                "mx": np.array([vv.max()], np.float64),
+            },
+        )
+
+    # tiny fold on the driver: per-type partial rows are O(blocks x types)
+    parts = pa.concat_tables(list(ds.map_batches(cmm, batch_format="pyarrow").iter_batches(batch_size=65536, batch_format="pyarrow")))
+    types_all = np.asarray(parts["event_type"].to_pylist(), dtype=object)
+    state: dict[str, dict] = {}
+    for t in sorted(set(types_all)):
+        sel = types_all == t
+        state[t] = {
+            "n": int(parts["n"].to_numpy()[sel].sum()),
+            "lo": float(parts["mn"].to_numpy()[sel].min()),
+            "hi": float(parts["mx"].to_numpy()[sel].max()),
+        }
+
+    # needed 0-indexed order statistics per type
+    def ranks_of(n: int) -> np.ndarray:
+        rs = set()
+        for q in qs:
+            r = (n - 1) * q
+            rs.add(int(np.floor(r)))
+            rs.add(min(int(np.floor(r)) + 1, n - 1))
+        return np.array(sorted(rs), np.int64)
+
+    def bin_idx(vv: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        if hi <= lo:  # degenerate: all values equal
+            return np.zeros(len(vv), np.int64)
+        return np.clip(((vv - lo) * (bins / (hi - lo))).astype(np.int64), 0, bins - 1)
+
+    for t in state:
+        state[t]["bmin"], state[t]["bmax"] = 0, bins - 1
+
+    for _ in range(max_rounds):
+        need = {t: s for t, s in state.items() if s["n"] > cap and s["hi"] > s["lo"]}
+        if not need:
+            break
+        bref = ray.put({t: (s["lo"], s["hi"]) for t, s in need.items()})
+
+        def hist(batch: pa.Table, _bref=bref) -> pa.Table:
+            grids = ray.get(_bref)
+
+            def one(t, vv):
+                if t not in grids:
+                    return {"event_type": np.array([], dtype=object), "bin": np.array([], np.int64), "cnt": np.array([], np.int64)}
+                lo, hi = grids[t]
+                below = int((vv < lo).sum())
+                inr = vv[(vv >= lo) & (vv <= hi)]
+                counts = np.bincount(bin_idx(inr, lo, hi), minlength=bins)
+                nz = np.flatnonzero(counts)
+                b = np.concatenate([[-1], nz]).astype(np.int64)
+                c = np.concatenate([[below], counts[nz]]).astype(np.int64)
+                return {"event_type": np.full(len(b), t, dtype=object), "bin": b, "cnt": c}
+
+            return _per_type(batch, one)
+
+        hp = pa.concat_tables(list(ds.map_batches(hist, batch_format="pyarrow").iter_batches(batch_size=65536, batch_format="pyarrow")))
+        ht = np.asarray(hp["event_type"].to_pylist(), dtype=object)
+        hb, hc = hp["bin"].to_numpy(), hp["cnt"].to_numpy()
+        for t, s in need.items():
+            sel = ht == t
+            below = int(hc[sel & (hb == -1)].sum())
+            counts = np.zeros(bins, np.int64)
+            np.add.at(counts, hb[sel & (hb >= 0)], hc[sel & (hb >= 0)])
+            cum = below + np.cumsum(counts)  # cum[b] = #values with bin <= b, plus below
+            rs = ranks_of(s["n"])
+            # bins containing the needed ranks (rank r is in bin b iff cum[b-1] <= r < cum[b])
+            bneed = np.searchsorted(cum, rs, side="right")
+            bmin, bmax = int(bneed.min()), int(bneed.max())
+            w = (s["hi"] - s["lo"]) / bins
+            new_lo, new_hi = s["lo"] + bmin * w, s["lo"] + (bmax + 1) * w
+            n_cand = int(counts[bmin : bmax + 1].sum())
+            s["gather_grid"] = (s["lo"], s["hi"], bmin, bmax)  # idx-formula gather, no float-edge drift
+            s["lo"], s["hi"], s["n_range"] = new_lo, min(new_hi, s["hi"]), n_cand
+            if n_cand <= cap:
+                s["n"] = 0  # mark done (sieve converged for this type)
+
+    gref = ray.put({t: s.get("gather_grid") for t, s in state.items()})
+
+    def gather(batch: pa.Table, _gref=gref) -> pa.Table:
+        grids = ray.get(_gref)
+
+        def one(t, vv):
+            g = grids.get(t)
+            if g is None:  # small type: every value is a candidate
+                keep = vv
+                below = 0
+            else:
+                lo, hi, bmin, bmax = g
+                inr = (vv >= lo) & (vv <= hi)
+                idx = bin_idx(vv[inr], lo, hi)
+                keep = vv[inr][(idx >= bmin) & (idx <= bmax)]
+                below = int((vv < lo).sum()) + int((idx < bmin).sum())
+            return {
+                "event_type": np.full(len(keep) + 1, t, dtype=object),
+                "value": np.concatenate([keep, [0.0]]),
+                "below": np.concatenate([np.full(len(keep), -1, np.int64), [below]]),
+            }
+
+        return _per_type(batch, one)
+
+    gp = pa.concat_tables(list(ds.map_batches(gather, batch_format="pyarrow").iter_batches(batch_size=65536, batch_format="pyarrow")))
+    gt = np.asarray(gp["event_type"].to_pylist(), dtype=object)
+    gv, gb = gp["value"].to_numpy(), gp["below"].to_numpy()
+    # authoritative per-type n from the stage-1 fold (state[t]["n"] was
+    # consumed as a convergence flag in the sieve loop)
+    n_by_type = {}
+    for t in sorted(set(types_all)):
+        sel = types_all == t
+        n_by_type[t] = int(parts["n"].to_numpy()[sel].sum())
+    out_type, rows = [], []
+    for t in sorted(n_by_type):
+        sel = gt == t
+        below = int(gb[sel & (gb >= 0)].sum())
+        s = np.sort(gv[sel & (gb == -1)])
+        n = n_by_type[t]
+        vals = []
+        for q in qs:
+            r = (n - 1) * q
+            lo_i = int(np.floor(r))
+            frac = r - lo_i
+            a = s[lo_i - below]
+            b = s[min(lo_i + 1, n - 1) - below]
+            vals.append(a * (1 - frac) + b * frac)  # DuckDB quantile_cont lerp
+        out_type.append(t)
+        rows.append(vals)
+    cols = {"event_type": pa.array(out_type, pa.string())}
+    for j, q in enumerate(qs):
+        cols[f"p{int(q * 100)}"] = pa.array([r[j] for r in rows], pa.float64())
+    return pa.table(cols)
+
+
 def asof_join(sf_dir: str, left_type: str = "purchase", right_type: str = "view"):
     """Per-user event-time AS-OF join: each ``left_type`` event is
     matched to the latest ``right_type`` event by the same user at or

@@ -40,8 +40,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "events_type_stats",
         "events_approx_distinct",
         "events_asof_join",
+        "events_quantiles",
         "ann_range_search",
         "dedup_semantic",
+        "text_vocab",
+        "docs_sample_pct",
+        "docs_sample_stratified",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
@@ -164,3 +168,49 @@ def test_asof_join_edge_semantics(ray_session, tmp_path):
     assert list(got["event_id"]) == [2, 7, 9]  # 3 and 8 dropped
     for c in got.columns:
         assert (got[c].to_numpy().astype("int64") == want[c].to_numpy().astype("int64")).all(), c
+
+
+def test_quantile_sieve_forced_rounds(ray_session):
+    """Force the histogram sieve (cap far below per-type counts) and
+    pin bit-exact agreement with DuckDB quantile_cont; the default
+    path (cap > n, gather-all) is covered by the oracle-parity test."""
+    from polipus_ray.ops.windows import quantiles_by_type
+
+    got = quantiles_by_type(SF, qs=(0.5, 0.9, 0.99), bins=64, cap=20, max_rounds=8).to_pandas()
+    want = (
+        _oracle_con(SF)
+        .execute(
+            "SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90,"
+            " quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type ORDER BY event_type"
+        )
+        .df()
+    )
+    got = got.sort_values("event_type").reset_index(drop=True)
+    assert list(got["event_type"]) == list(want["event_type"])
+    for c in ("p50", "p90", "p99"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_quantile_lerp_matches_duckdb_bitexact():
+    """The ONLY float arithmetic the quantile op shares with the SQL
+    oracle is the final lerp s[lo]*(1-frac) + s[hi]*frac; fuzz-pin it
+    bit-for-bit against quantile_cont across sizes and q."""
+    import math
+
+    import numpy as np
+
+    con = duckdb.connect()
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 5000))
+        v = rng.standard_normal(n) * float(rng.uniform(0.1, 1000))
+        con.execute("CREATE OR REPLACE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(float(x),) for x in v])
+        s = np.sort(v)
+        for q in (0.5, 0.9, 0.99, 0.123, 0.007, 0.333):
+            d = con.execute(f"SELECT quantile_cont(x, {q}) FROM t").fetchone()[0]
+            r = (n - 1) * q
+            lo = int(math.floor(r))
+            frac = r - lo
+            mine = s[lo] * (1 - frac) + s[min(lo + 1, n - 1)] * frac
+            assert d == mine, (seed, n, q, d, mine)
