@@ -1,18 +1,32 @@
 """Training-data pipeline operators over the driver testdata tables
 (documents / embeddings) and the crawl pages table — the 100 TB-scale
 toolbox that complements the crawl engine: dedup (exact, MinHash-LSH,
-SimHash, n-gram Jaccard, embedding cosine), similarity search (brute
-cosine + IVF), text analysis (lang-id, quality, tokens, fingerprint),
+SimHash, n-gram Jaccard, embedding cosine exact/LSH, SemDeDup-style
+cluster-scoped), similarity search (brute cosine + IVF + range),
+text analysis (lang-id, quality, tokens, fingerprint, vocabulary),
+deterministic sampling (hash-pct, stratified top-k), event-time ops
+(windows, sessions, as-of join, exact quantile sieve, HLL sketch),
 image stages (decode / phash / near-dup suppression)."""
 
 from .ann import ann_range_search, ann_topk_bruteforce, ann_topk_ivf
-from .dedup import embedding_dup_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from .dedup import (
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    semantic_dup_pairs,
+    simhash_pairs,
+)
+from .sample import sample_hash_pct, sample_stratified_topk
 from .images import decode_stage, phash_neardup_keep_first
-from .text import fingerprints, lang_id, quality_stats, token_counts
+from .text import fingerprints, lang_id, quality_stats, token_counts, vocab_stats
 from .windows import (
     approx_distinct_users,
+    asof_join,
     event_type_stats,
     hopping_window,
+    quantiles_by_type,
     session_windows,
     top_users_per_type,
     tumbling_window,
@@ -39,4 +53,11 @@ __all__ = [
     "quality_stats",
     "token_counts",
     "fingerprints",
+    "vocab_stats",
+    "embedding_dup_pairs_lsh",
+    "semantic_dup_pairs",
+    "sample_hash_pct",
+    "sample_stratified_topk",
+    "asof_join",
+    "quantiles_by_type",
 ]

@@ -1,7 +1,9 @@
 """Text-analysis operators over the ``documents`` table.
 
-All are single-pass ``map_batches`` stages with vectorized or
-compiled-once bodies; none shuffles.  The SQL-oracle-checked ones
+All but ``vocab_stats`` are single-pass ``map_batches`` stages with
+vectorized or compiled-once bodies and no shuffle; vocab_stats moves
+only per-batch-deduped (lang, token-hash) pairs through bounded hash
+buckets.  The SQL-oracle-checked ones
 (token_counts, quality_stats) use definitions expressible in DuckDB
 SQL with exactly matching semantics; the heuristic ones (lang_id,
 fingerprints) are deterministic but not SQL-expressible (rows-only

@@ -485,3 +485,44 @@ def test_jaccard_keep_matches_per_pair():
             union = sa[k].size + sb[k].size - inter
             want = (inter / union if union else 1.0) >= thr
             assert got[k] == want
+
+
+def test_semantic_dedup_precision_and_recall(ray_session, tmp_path):
+    """Precision: the semantic pair set is a subset of the exact op's
+    (every candidate is exact-cosine verified).  Recall: pinned on
+    PLANTED near-identical pairs (vector + tiny noise, cos >= 0.99) —
+    near-dups have tiny angular distance, so top-1 k-means bucketing
+    keeps them together; the real-data set at a loose threshold has no
+    recall guarantee by design (cluster-straddling pairs are the
+    documented miss mode, like LSH band misses)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polipus_ray.ops.dedup import embedding_dup_pairs, semantic_dup_pairs
+
+    # precision on real data
+    exact = {(r["a"], r["b"]) for r in embedding_dup_pairs(SF, threshold=0.42).take_all()}
+    sem = {(r["a"], r["b"]) for r in semantic_dup_pairs(SF, threshold=0.42, nlist=8).take_all()}
+    assert exact and sem
+    assert sem <= exact
+
+    # recall on planted near-identical pairs
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32)).astype(np.float32)
+    dup = (base[:40] + 0.01 * rng.standard_normal((40, 32))).astype(np.float32)
+    M = np.concatenate([base, dup])
+    ids = np.arange(len(M), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(M), pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(M), np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "sfplant"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    got = {(r["a"], r["b"]) for r in semantic_dup_pairs(str(d), threshold=0.9, nlist=8).take_all()}
+    planted = {(i, 200 + i) for i in range(40)}
+    assert len(got & planted) / len(planted) >= 0.9, (len(got & planted), len(got))
