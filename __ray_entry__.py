@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top_users_per_type,
         tumbling_window,
     )
+    from polipus_ray.ops.relational import order_revenue_topn, pricing_summary, region_sales
     from polipus_ray.pipelines import crawl_queries as cq
 
     return {
@@ -122,6 +123,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # buckets as candidates, exact-cosine verify (oracle replays
         # the same centroids as SQL literals)
         "dedup_semantic": lambda sf: semantic_dup_pairs(sf, threshold=0.42, nlist=8),
+        # relational plans over the TPC-H-shaped tables (integer-cents
+        # arithmetic -> order-independent, value-hash-exact): map-side
+        # partial rollup / large-large hash join + dim broadcast +
+        # partial top-n / star-schema broadcast rollup
+        "tpch_pricing_summary": pricing_summary,
+        "tpch_order_revenue": lambda sf: order_revenue_topn(sf, n=20, segment="BUILDING", date="1998-06-30"),
+        "tpch_region_sales": region_sales,
     }
 
 
@@ -625,6 +633,41 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        # relational plans (integer cents: round(x*100) — the source
+        # doubles are 2-decimal, so never at a .5 rounding boundary)
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(c) AS BIGINT) AS sum_base_c,
+                   CAST(sum(c*(100-d)) AS BIGINT) AS sum_disc_cc,
+                   CAST(sum(c*(100-d)*(100+t)) AS BIGINT) AS sum_charge_cccc,
+                   count(*) AS n_rows
+            FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+                         CAST(round(l_extendedprice*100) AS BIGINT) AS c,
+                         CAST(round(l_discount*100) AS BIGINT) AS d,
+                         CAST(round(l_tax*100) AS BIGINT) AS t
+                  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01')
+            GROUP BY 1,2 ORDER BY 1,2
+        """,
+        "tpch_order_revenue": """
+            SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cc
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-30'
+              AND l.l_shipdate > TIMESTAMP '1998-06-30'
+            GROUP BY 1,2,3 ORDER BY revenue_cc DESC, o_orderkey LIMIT 20
+        """,
+        "tpch_region_sales": """
+            SELECT r.r_name, n.n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1,2 ORDER BY 1,2
+        """,
     }
     for name, builder in (
         ("ann_ivf_topk", _ivf_oracle_sql),

@@ -161,6 +161,11 @@ def bench_ops() -> dict:
     from polipus_ray.ops.windows import asof_join, quantiles_by_type
 
     timed("dedup_semantic", lambda: semantic_dup_pairs(SF_DIR, threshold=0.42, nlist=8))
+    from polipus_ray.ops.relational import order_revenue_topn, pricing_summary, region_sales
+
+    timed("tpch_pricing_summary", lambda: pricing_summary(SF_DIR))
+    timed("tpch_order_revenue", lambda: order_revenue_topn(SF_DIR, n=20))
+    timed("tpch_region_sales", lambda: region_sales(SF_DIR))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

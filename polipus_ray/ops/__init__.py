@@ -18,6 +18,7 @@ from .dedup import (
     semantic_dup_pairs,
     simhash_pairs,
 )
+from .relational import order_revenue_topn, pricing_summary, region_sales
 from .sample import sample_hash_pct, sample_stratified_topk
 from .images import decode_stage, phash_neardup_keep_first
 from .text import fingerprints, lang_id, quality_stats, token_counts, vocab_stats
@@ -60,4 +61,7 @@ __all__ = [
     "sample_stratified_topk",
     "asof_join",
     "quantiles_by_type",
+    "pricing_summary",
+    "order_revenue_topn",
+    "region_sales",
 ]

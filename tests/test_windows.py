@@ -46,6 +46,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "text_vocab",
         "docs_sample_pct",
         "docs_sample_stratified",
+        "tpch_pricing_summary",
+        "tpch_order_revenue",
+        "tpch_region_sales",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
