@@ -60,7 +60,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from polipus_ray.ops.ann import ann_range_search
     from polipus_ray.ops.sample import sample_hash_pct, sample_stratified_topk
-    from polipus_ray.ops.text import fingerprints, lang_id, quality_stats, token_counts, vocab_stats
+    from polipus_ray.ops.text import (
+        chunk_tokens,
+        fingerprints,
+        lang_id,
+        quality_stats,
+        repetition_stats,
+        tfidf_topk,
+        token_counts,
+        vocab_stats,
+    )
     from polipus_ray.ops.windows import (
         approx_distinct_users,
         asof_join,
@@ -130,6 +139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": pricing_summary,
         "tpch_order_revenue": lambda sf: order_revenue_topn(sf, n=20, segment="BUILDING", date="1998-06-30"),
         "tpch_region_sales": region_sales,
+        # Gopher-style repetition signals (integer numerators), fixed
+        # sliding-window token chunking, and integer-scaled TF-IDF
+        # retrieval — map-only / partial-top-k plans
+        "text_repetition": repetition_stats,
+        "docs_chunk_tokens": lambda sf: chunk_tokens(sf, window=32, stride=24),
+        "text_tfidf_topk": lambda sf: tfidf_topk(sf, terms=("hash", "merge", "window", "table"), k=10),
     }
 
 
@@ -667,6 +682,65 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY 1,2 ORDER BY 1,2
+        """,
+        # Gopher-style word repetition numerators (space-split words ==
+        # DuckDB string_split; top word ties -> smallest word)
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                     string_split(text,' ')[CAST(u.i AS INTEGER)] AS word
+              FROM documents, unnest(range(1, len(string_split(text,' ')) + 1)) AS u(i)
+            ), stats AS (
+              SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct_words FROM w GROUP BY 1
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1,2
+            ), top AS (
+              SELECT doc_id, top_word_chars FROM (
+                SELECT doc_id, length(word)*cnt AS top_word_chars,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+              WHERE rn = 1
+            ), g2 AS (
+              SELECT a.doc_id, a.word || ' ' || b.word AS gram
+              FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            ), g2s AS (
+              SELECT doc_id, count(*) - count(DISTINCT gram) AS n_dup_2grams FROM g2 GROUP BY 1
+            )
+            SELECT s.doc_id, s.n_words, s.n_distinct_words, t.top_word_chars,
+                   CAST(coalesce(g.n_dup_2grams, 0) AS BIGINT) AS n_dup_2grams
+            FROM stats s JOIN top t USING(doc_id) LEFT JOIN g2s g USING(doc_id) ORDER BY doc_id
+        """,
+        # window=32 / stride=24 (1-based inclusive DuckDB list slice)
+        "docs_chunk_tokens": """
+            WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+            c AS (
+              SELECT doc_id, CAST(u.j AS BIGINT) AS chunk_id,
+                     ws[1 + 24*u.j : least(24*u.j + 32, len(ws))] AS cw
+              FROM d, unnest(range(0, (len(ws) + 23) // 24)) AS u(j)
+              WHERE 24*u.j < len(ws)
+            )
+            SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tokens,
+                   array_to_string(cw, ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        # integer floor-division idf — engine-exact (a float ln idf
+        # would hash-drift); terms/k mirror queries()
+        "text_tfidf_topk": """
+            WITH w AS (
+              SELECT doc_id, string_split(text,' ')[CAST(u.i AS INTEGER)] AS word
+              FROM documents, unnest(range(1, len(string_split(text,' ')) + 1)) AS u(i)
+            ), tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM w
+              WHERE word IN ('hash','merge','window','table') GROUP BY 1,2
+            ), df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT tf.word AS term, tf.doc_id,
+                     tf.tf * ((n.n * 1000000) // df.df) AS score_int
+              FROM tf JOIN df ON df.word = tf.word CROSS JOIN n
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY term ORDER BY score_int DESC, doc_id) AS rank FROM sc)
+            SELECT term, doc_id, CAST(score_int AS BIGINT) AS score_int, rank
+            FROM r WHERE rank <= 10 ORDER BY term, rank
         """,
     }
     for name, builder in (

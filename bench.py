@@ -166,6 +166,11 @@ def bench_ops() -> dict:
     timed("tpch_pricing_summary", lambda: pricing_summary(SF_DIR))
     timed("tpch_order_revenue", lambda: order_revenue_topn(SF_DIR, n=20))
     timed("tpch_region_sales", lambda: region_sales(SF_DIR))
+    from polipus_ray.ops.text import chunk_tokens, repetition_stats, tfidf_topk
+
+    timed("text_repetition", lambda: repetition_stats(SF_DIR))
+    timed("docs_chunk_tokens", lambda: chunk_tokens(SF_DIR))
+    timed("text_tfidf_topk", lambda: tfidf_topk(SF_DIR))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

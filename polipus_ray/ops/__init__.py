@@ -21,7 +21,16 @@ from .dedup import (
 from .relational import order_revenue_topn, pricing_summary, region_sales
 from .sample import sample_hash_pct, sample_stratified_topk
 from .images import decode_stage, phash_neardup_keep_first
-from .text import fingerprints, lang_id, quality_stats, token_counts, vocab_stats
+from .text import (
+    chunk_tokens,
+    fingerprints,
+    lang_id,
+    quality_stats,
+    repetition_stats,
+    tfidf_topk,
+    token_counts,
+    vocab_stats,
+)
 from .windows import (
     approx_distinct_users,
     asof_join,
@@ -64,4 +73,7 @@ __all__ = [
     "pricing_summary",
     "order_revenue_topn",
     "region_sales",
+    "repetition_stats",
+    "chunk_tokens",
+    "tfidf_topk",
 ]

@@ -49,6 +49,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "tpch_pricing_summary",
         "tpch_order_revenue",
         "tpch_region_sales",
+        "text_repetition",
+        "docs_chunk_tokens",
+        "text_tfidf_topk",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
