@@ -145,7 +145,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": repetition_stats,
         "docs_chunk_tokens": lambda sf: chunk_tokens(sf, window=32, stride=24),
         "text_tfidf_topk": lambda sf: tfidf_topk(sf, terms=("hash", "merge", "window", "table"), k=10),
+        # iterative graph analytics: integer-scaled PageRank supersteps
+        # (join + bounded-bucket sum per iteration), bit-exact vs the
+        # unrolled-CTE oracle
+        "crawl_pagerank": lambda sf: _pagerank(sf, iters=5),
     }
+
+
+def _pagerank(sf: str, iters: int = 5):
+    from polipus_ray.ops.graph import pagerank
+
+    return pagerank(sf, iters=iters)
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """PageRank supersteps unrolled as chained CTEs over the
+    SQL-replicable world link arithmetic (synth/world.py; same edge
+    set the Ray op extracts from the links column after the in-domain
+    filter).  All-integer arithmetic: floor-division contributions,
+    so any iteration count stays engine-exact."""
+    from polipus_ray.ops.graph import DAMP_PCT, SCALE
+
+    n_eff = "(SELECT count(*) - (count(*) % 16) FROM documents)"
+    base = (100 - DAMP_PCT) * SCALE // 100
+    sql = f"""WITH edges AS (
+      SELECT DISTINCT d.doc_id AS src,
+             ((d.doc_id + k.k*16*(1 + ((d.doc_id // 16) % 64))) % {n_eff}) AS dst
+      FROM documents d CROSS JOIN (SELECT unnest([1,2,3]) AS k) k
+      WHERE (d.doc_id % 37) <> 0
+    ), outd AS (SELECT src, count(*) AS o FROM edges GROUP BY 1),
+    r0 AS (SELECT doc_id, CAST({SCALE} AS BIGINT) AS r FROM documents)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    r{t} AS (
+      SELECT d.doc_id, CAST({base} + coalesce(s.s, 0) AS BIGINT) AS r
+      FROM documents d LEFT JOIN (
+        SELECT e.dst AS doc_id, sum((r.r * {DAMP_PCT}) // (100 * o.o)) AS s
+        FROM edges e JOIN r{t - 1} r ON r.doc_id = e.src JOIN outd o ON o.src = e.src
+        GROUP BY 1) s USING (doc_id))"""
+    return sql + f"\nSELECT doc_id, r AS rank_int FROM r{iters} ORDER BY doc_id"
 
 
 def _minhash_oracle_sql(num_perm: int = 128, bands: int = 16, ngram: int = 5, threshold: float = 0.8) -> str:
@@ -742,6 +780,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT term, doc_id, CAST(score_int AS BIGINT) AS score_int, rank
             FROM r WHERE rank <= 10 ORDER BY term, rank
         """,
+        "crawl_pagerank": _pagerank_oracle_sql(iters=5),
     }
     for name, builder in (
         ("ann_ivf_topk", _ivf_oracle_sql),

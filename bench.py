@@ -171,6 +171,9 @@ def bench_ops() -> dict:
     timed("text_repetition", lambda: repetition_stats(SF_DIR))
     timed("docs_chunk_tokens", lambda: chunk_tokens(SF_DIR))
     timed("text_tfidf_topk", lambda: tfidf_topk(SF_DIR))
+    from polipus_ray.ops.graph import pagerank
+
+    timed("crawl_pagerank", lambda: pagerank(SF_DIR, iters=5))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

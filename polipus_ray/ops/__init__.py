@@ -18,6 +18,7 @@ from .dedup import (
     semantic_dup_pairs,
     simhash_pairs,
 )
+from .graph import pagerank
 from .relational import order_revenue_topn, pricing_summary, region_sales
 from .sample import sample_hash_pct, sample_stratified_topk
 from .images import decode_stage, phash_neardup_keep_first
@@ -76,4 +77,5 @@ __all__ = [
     "repetition_stats",
     "chunk_tokens",
     "tfidf_topk",
+    "pagerank",
 ]

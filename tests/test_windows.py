@@ -52,6 +52,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "text_repetition",
         "docs_chunk_tokens",
         "text_tfidf_topk",
+        "crawl_pagerank",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
