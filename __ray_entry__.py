@@ -149,7 +149,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (join + bounded-bucket sum per iteration), bit-exact vs the
         # unrolled-CTE oracle
         "crawl_pagerank": lambda sf: _pagerank(sf, iters=5),
+        # dedup endgame: connected components over the verified
+        # MinHash pair graph -> min-id cluster label + keep flag
+        "dedup_clusters": _dedup_clusters,
     }
+
+
+def _dedup_clusters(sf: str):
+    from polipus_ray.ops.dedup import dedup_clusters
+
+    return dedup_clusters(sf, threshold=0.8)
+
+
+def _clusters_oracle_sql() -> str:
+    """The MinHash pair SQL wrapped in a recursive min-label closure:
+    every document labeled with its component's min doc_id."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+edges AS (SELECT a AS n, b AS m FROM pairs UNION ALL SELECT b AS n, a AS m FROM pairs),
+comp(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.m, c.label FROM comp c JOIN edges e ON e.n = c.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+       (min(label) = node) AS keep
+FROM comp GROUP BY node ORDER BY node
+"""
 
 
 def _pagerank(sf: str, iters: int = 5):
@@ -781,6 +807,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM r WHERE rank <= 10 ORDER BY term, rank
         """,
         "crawl_pagerank": _pagerank_oracle_sql(iters=5),
+        "dedup_clusters": _clusters_oracle_sql(),
     }
     for name, builder in (
         ("ann_ivf_topk", _ivf_oracle_sql),

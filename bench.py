@@ -174,6 +174,9 @@ def bench_ops() -> dict:
     from polipus_ray.ops.graph import pagerank
 
     timed("crawl_pagerank", lambda: pagerank(SF_DIR, iters=5))
+    from polipus_ray.ops.dedup import dedup_clusters
+
+    timed("dedup_clusters", lambda: dedup_clusters(SF_DIR, threshold=0.8))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

@@ -10,6 +10,7 @@ image stages (decode / phash / near-dup suppression)."""
 
 from .ann import ann_range_search, ann_topk_bruteforce, ann_topk_ivf
 from .dedup import (
+    dedup_clusters,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     exact_dedup,
@@ -78,4 +79,5 @@ __all__ = [
     "chunk_tokens",
     "tfidf_topk",
     "pagerank",
+    "dedup_clusters",
 ]

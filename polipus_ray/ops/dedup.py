@@ -1141,3 +1141,130 @@ def semantic_dup_pairs(sf_dir: str, threshold: float = 0.9, nlist: int = 8):
     ds = _emb_read(sf_dir)
     cand = _banded_pairs(ds.map_batches(assign_stage, batch_format="pyarrow"), ["band_key"]).materialize()
     return _cosine_verify_pairs(sf_dir, ds, cand, threshold, dim)
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, driver_pair_limit: int = 1_000_000):
+    """Cluster assignment for near-duplicate DOCUMENT groups — the
+    dedup endgame every corpus pipeline runs after pair generation:
+    connected components over the verified MinHash-LSH pair graph,
+    each document labeled with its component's min doc_id, keep =
+    (label == own id).
+
+    Same dual component path as the phash image flow
+    (ops/images.py): driver union-find below ``driver_pair_limit``
+    pairs (pair sets are narrow groupby output), distributed min-label
+    propagation above it — so no pair set ever has to fit on the
+    driver.  Singletons label themselves.  Output: doc_id,
+    cluster_id, keep.  Oracle: the MinHash pair SQL wrapped in a
+    recursive min-label closure (__ray_entry__._clusters_oracle_sql)."""
+    import ray.data
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold).materialize()
+    n_pairs = pairs.count()
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id"], override_num_blocks=small_read_blocks(path))
+
+    if n_pairs > driver_pair_limit:
+        labels = _cc_labels_distributed(pairs, n_pairs=n_pairs)
+
+        def mark_joined(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = batch["doc_id"].to_numpy()
+            # singletons have no label row after the left_outer join
+            lab = pc.coalesce(batch["label"], batch["doc_id"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "cluster_id": pa.array(lab, pa.int64()),
+                    "keep": pa.array(lab == ids, pa.bool_()),
+                }
+            )
+
+        j = docs.join(
+            labels,
+            join_type="left_outer",
+            num_partitions=join_partitions(n_pairs),
+            on=("doc_id",),
+            right_on=("node",),
+        )
+        return j.map_batches(mark_joined, batch_format="pyarrow").sort("doc_id")
+
+    rows = pairs.take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {x: find(x) for x in parent}
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        lab = np.fromiter((roots.get(int(i), int(i)) for i in ids), np.int64, len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(lab, pa.int64()),
+                "keep": pa.array(lab == ids, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(mark, batch_format="pyarrow").sort("doc_id")
+
+
+def _cc_labels_distributed(pairs, n_pairs: int | None = None, max_iters: int = 25):
+    """Min-label propagation over the pair graph returning the full
+    (node, label) dataset — the labels twin of
+    ops/images._cc_losers_distributed (same join/groupby supersteps)."""
+    import logging
+
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64()), "nbr": pa.array(np.concatenate([b, a]), pa.int64())}
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def self_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "label": batch["node"]})
+
+    def rename_min(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "label": batch["min(label)"]})
+
+    labels = (
+        edges.map_batches(self_label, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label"))
+        .map_batches(rename_min, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=join_partitions(2 * n_pairs if n_pairs else None),
+            on=("nbr",),
+            right_on=("node",),
+            right_suffix="_l",
+        )
+        prop = nbr.select_columns(["node", "label"]).union(labels)
+        labels = prop.groupby("node").aggregate(Min("label")).map_batches(rename_min, batch_format="pyarrow").materialize()
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        logging.getLogger(__name__).warning("label propagation hit max_iters=%d without converging", max_iters)
+    return labels

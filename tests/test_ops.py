@@ -526,3 +526,18 @@ def test_semantic_dedup_precision_and_recall(ray_session, tmp_path):
     got = {(r["a"], r["b"]) for r in semantic_dup_pairs(str(d), threshold=0.9, nlist=8).take_all()}
     planted = {(i, 200 + i) for i in range(40)}
     assert len(got & planted) / len(planted) >= 0.9, (len(got & planted), len(got))
+
+
+def test_dedup_clusters_distributed_equals_driver(ray_session):
+    """The distributed min-label path (forced via driver_pair_limit=0)
+    must produce the same (doc_id, cluster_id, keep) assignment as the
+    driver union-find path."""
+    from polipus_ray.ops.dedup import dedup_clusters
+
+    a = dedup_clusters(SF, driver_pair_limit=1_000_000).to_pandas().reset_index(drop=True)
+    b = dedup_clusters(SF, driver_pair_limit=0).to_pandas().reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["cluster_id"] == b["cluster_id"]).all()
+    assert (a["keep"] == b["keep"]).all()
+    # keepers are exactly the component minima, and clusters are closed
+    assert (a.groupby("cluster_id")["doc_id"].min().to_numpy() == sorted(a.loc[a["keep"], "doc_id"])).all()

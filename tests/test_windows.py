@@ -53,6 +53,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "docs_chunk_tokens",
         "text_tfidf_topk",
         "crawl_pagerank",
+        "dedup_clusters",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
