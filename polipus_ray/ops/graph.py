@@ -91,10 +91,19 @@ def _edges_dataset(world_dir: str, hosts: int):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
-def pagerank(sf_dir: str, iters: int = 5):
+def pagerank(sf_dir: str, iters: int = 5, driver_edge_limit: int = 2_000_000):
     """Integer-scaled PageRank over the in-domain link graph of the
     SQL-checked world derived from ``sf_dir``.  Output: doc_id,
-    rank_int (rank x 1e12 after ``iters`` supersteps)."""
+    rank_int (rank x 1e12 after ``iters`` supersteps).
+
+    Adaptive like the dedup verifies: below ``driver_edge_limit``
+    edges the (narrow, already-aggregated) edge list is pulled once
+    and iterated as gather + ``add.reduceat`` on the driver — a
+    15k-edge graph spends 10x longer spinning join aggregator actors
+    than computing; above it, fully distributed supersteps (join +
+    bounded-bucket sum, materialized per iteration).  Both paths are
+    the same integer arithmetic, pinned equal by
+    test_pagerank_distributed_equals_driver."""
     import ray.data
 
     from polipus_ray.ops.dedup import join_partitions
@@ -103,10 +112,36 @@ def pagerank(sf_dir: str, iters: int = 5):
 
     world_dir = sql_world_for(sf_dir)
     edges = _edges_dataset(world_dir, SQL_SPEC.hosts).materialize()  # reused every superstep
+    n_edges = edges.count()
     import os
 
     nodes = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id"])
     base = (100 - DAMP_PCT) * SCALE // 100
+
+    if n_edges <= driver_edge_limit:
+        et = edges.to_pandas()
+        node_ids = np.sort(nodes.to_pandas()["doc_id"].to_numpy())
+        idx_of = np.full(int(node_ids.max()) + 1, -1, np.int64)
+        idx_of[node_ids] = np.arange(len(node_ids))
+        src = idx_of[et["src"].to_numpy()]
+        dst = idx_of[et["dst"].to_numpy()]
+        outd = et["outd"].to_numpy()
+        # group edges by dst ONCE; per iteration only contribs change
+        order = np.argsort(dst, kind="stable")
+        dst_s, src_s, outd_s = dst[order], src[order], outd[order]
+        new = np.ones(len(dst_s), bool)
+        new[1:] = dst_s[1:] != dst_s[:-1]
+        starts = np.flatnonzero(new)
+        dst_g = dst_s[starts]
+        r = np.full(len(node_ids), SCALE, np.int64)
+        for _ in range(iters):
+            c = (r[src_s] * DAMP_PCT) // (100 * outd_s)
+            nxt = np.full(len(node_ids), base, np.int64)
+            if len(starts):
+                nxt[dst_g] += np.add.reduceat(c, starts)
+            r = nxt
+        out = pa.table({"doc_id": pa.array(node_ids, pa.int64()), "rank_int": pa.array(r, pa.int64())})
+        return ray.data.from_arrow(out)
 
     def init_ranks(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -126,7 +161,10 @@ def pagerank(sf_dir: str, iters: int = 5):
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
     zeros = nodes.map_batches(zero_rows, batch_format="pyarrow").materialize()
-    nparts = join_partitions(None)
+    # size the per-superstep join from the edge count: each hash-join
+    # partition spins an aggregator actor, and 5 supersteps x 32
+    # oversized partitions is pure spin-up on a small graph
+    nparts = join_partitions(n_edges)
 
     def contrib(batch: pa.Table) -> pa.Table:
         r = batch["r"].to_numpy()

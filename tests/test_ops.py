@@ -541,3 +541,14 @@ def test_dedup_clusters_distributed_equals_driver(ray_session):
     assert (a["keep"] == b["keep"]).all()
     # keepers are exactly the component minima, and clusters are closed
     assert (a.groupby("cluster_id")["doc_id"].min().to_numpy() == sorted(a.loc[a["keep"], "doc_id"])).all()
+
+
+def test_pagerank_distributed_equals_driver(ray_session):
+    """Forced distributed supersteps (driver_edge_limit=0) must match
+    the driver CSR path bit-for-bit (same integer arithmetic)."""
+    from polipus_ray.ops.graph import pagerank
+
+    a = pagerank(SF, iters=3).to_pandas().reset_index(drop=True)
+    b = pagerank(SF, iters=3, driver_edge_limit=0).to_pandas().reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["rank_int"] == b["rank_int"]).all()
