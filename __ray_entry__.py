@@ -74,11 +74,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         approx_distinct_users,
         asof_join,
         event_type_stats,
+        funnel_completions,
         quantiles_by_type,
         hopping_window,
         session_windows,
         top_users_per_type,
         tumbling_window,
+        weekly_retention,
     )
     from polipus_ray.ops.relational import order_revenue_topn, pricing_summary, region_sales
     from polipus_ray.pipelines import crawl_queries as cq
@@ -152,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup endgame: connected components over the verified
         # MinHash pair graph -> min-id cluster label + keep flag
         "dedup_clusters": _dedup_clusters,
+        # ordered-funnel completion (greedy step-wise match) and
+        # cohort retention — one bounded user-bucket shuffle each
+        "events_funnel": lambda sf: funnel_completions(sf, steps=("view", "click", "purchase"), within_s=7 * 86400),
+        "events_retention": weekly_retention,
     }
 
 
@@ -808,6 +814,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         "crawl_pagerank": _pagerank_oracle_sql(iters=5),
         "dedup_clusters": _clusters_oracle_sql(),
+        # greedy step-wise funnel: t_k = earliest step-k event at/after
+        # t_{k-1}; complete iff t3 - t1 <= 7 days
+        "events_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING(user_id)
+                   WHERE e.event_type = 'click' AND e.t >= s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING(user_id)
+                   WHERE e.event_type = 'purchase' AND e.t >= s2.t2 GROUP BY 1)
+            SELECT s1.user_id, s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us
+            FROM s1 JOIN s2 USING(user_id) JOIN s3 USING(user_id)
+            WHERE s3.t3 - s1.t1 <= 604800000000 ORDER BY 1
+        """,
+        "events_retention": """
+            WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events)
+            SELECT a.w AS week, count(*) AS n_active,
+                   CAST(count(b.user_id) AS BIGINT) AS n_retained
+            FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.w = a.w + 1
+            GROUP BY 1 ORDER BY 1
+        """,
     }
     for name, builder in (
         ("ann_ivf_topk", _ivf_oracle_sql),

@@ -177,6 +177,10 @@ def bench_ops() -> dict:
     from polipus_ray.ops.dedup import dedup_clusters
 
     timed("dedup_clusters", lambda: dedup_clusters(SF_DIR, threshold=0.8))
+    from polipus_ray.ops.windows import funnel_completions, weekly_retention
+
+    timed("events_funnel", lambda: funnel_completions(SF_DIR))
+    timed("events_retention", lambda: weekly_retention(SF_DIR))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

@@ -37,11 +37,13 @@ from .windows import (
     approx_distinct_users,
     asof_join,
     event_type_stats,
+    funnel_completions,
     hopping_window,
     quantiles_by_type,
     session_windows,
     top_users_per_type,
     tumbling_window,
+    weekly_retention,
 )
 
 __all__ = [
@@ -80,4 +82,6 @@ __all__ = [
     "tfidf_topk",
     "pagerank",
     "dedup_clusters",
+    "funnel_completions",
+    "weekly_retention",
 ]

@@ -633,3 +633,169 @@ def event_type_stats(sf_dir: str):
         .map_batches(rename, batch_format="pyarrow")
         .sort("event_type")
     )
+
+
+def funnel_completions(sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase"), within_s: int = 7 * 86400):
+    """Ordered-funnel completion per user: t1 = the user's earliest
+    ``steps[0]`` event, t_k = the earliest ``steps[k]`` event at/after
+    t_{k-1} (the classic greedy step-wise definition — well-defined,
+    so the SQL oracle replays it exactly); a user completes when every
+    step matched and t_last - t1 <= ``within_s``.  One row per
+    completing user: user_id, t1_us..tK_us.
+
+    Plan: map-side type prune (only funnel-step events travel), ONE
+    bounded user-bucket shuffle, then a vectorized multi-user pass per
+    bucket: users are rank-compressed, each step's events sorted once
+    by (user, ts), and the per-user "first ts >= threshold" lookup is
+    one global ``searchsorted`` on a (user_rank, ts-offset) composite
+    key — no per-user Python."""
+    import ray.data  # noqa: F401
+
+    from polipus_ray.ops.dedup import join_partitions
+
+    within_us = int(within_s) * 1_000_000
+    step_list = list(steps)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"], value_set=pa.array(step_list))
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pa.array(_ts_us(t["ts"]), pa.int64()),
+                "step": pc.cast(pc.index_in(t["event_type"], value_set=pa.array(step_list)), pa.int32()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        ts = group["ts_us"].to_numpy()
+        st = group["step"].to_numpy()
+        if len(uid) == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), **{f"t{k + 1}_us": pa.array([], pa.int64()) for k in range(len(step_list))}}
+            )
+        users = np.unique(uid)
+        # rank-compress users + offset timestamps so the composite
+        # (rank, ts) key stays well inside int64: rank < bucket rows,
+        # span = event-time range of this bucket
+        t0 = ts.min()
+        span = int(ts.max() - t0) + 2
+        urank = np.searchsorted(users, uid)
+
+        def key(r: np.ndarray, t: np.ndarray) -> np.ndarray:
+            return r.astype(np.int64) * span + np.clip(t - t0, 0, span - 1)
+
+        alive = np.ones(len(users), bool)
+        cur = np.zeros(len(users), np.int64)
+        t_cols: list[np.ndarray] = []
+        all_ranks = np.arange(len(users))
+        for k in range(len(step_list)):
+            sel = st == k
+            r_k, ts_k = urank[sel], ts[sel]
+            order = np.lexsort((ts_k, r_k))
+            r_s, ts_s = r_k[order], ts_k[order]
+            keys = key(r_s, ts_s)
+            lo = np.searchsorted(r_s, all_ranks)
+            hi = np.searchsorted(r_s, all_ranks, side="right")
+            pos = np.searchsorted(keys, key(all_ranks, cur)) if k else lo
+            hit = (pos >= lo) & (pos < hi) & (alive if k else np.ones(len(users), bool))
+            safe = np.minimum(pos, max(len(ts_s) - 1, 0))
+            t_k = np.where(hit, ts_s[safe] if len(ts_s) else 0, 0)
+            alive &= hit
+            cur = t_k
+            t_cols.append(t_k)
+        done = alive & (t_cols[-1] - t_cols[0] <= within_us)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users[done], pa.int64())}
+        for k, t_k in enumerate(t_cols):
+            cols[f"t{k + 1}_us"] = pa.array(t_k[done], pa.int64())
+        return pa.table(cols)
+
+    ds = _events_read(sf_dir, ["ts", "user_id", "event_type"])
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    grouped = _bucket_tag(pruned, "user_id", join_partitions(None))
+    return grouped.map_groups(per_bucket, batch_format="pyarrow").sort("user_id")
+
+
+def weekly_retention(sf_dir: str, bucket_s: int = 7 * 86400):
+    """Cohort retention: per time bucket (default weekly), how many
+    users were active, and how many of those were also active in the
+    NEXT bucket.  Output: week (bucket index), n_active, n_retained.
+
+    Plan: the two-level exact-distinct shape (event_type_stats) —
+    map-side (user, week) pair dedup, bounded user-bucket merge where
+    the (u, w) -> (u, w+1) lookup is one sorted-key searchsorted per
+    bucket (all weeks of one user land in one bucket), then a tiny
+    groupby(week) fold (bucket count is bounded by the time range)."""
+    import ray.data  # noqa: F401
+
+    from polipus_ray.ops.dedup import join_partitions
+
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"])
+        uid = batch["user_id"].to_numpy()
+        w = ts // bucket_us
+        order = np.lexsort((w, uid))
+        u_s, w_s = uid[order], w[order]
+        new = np.ones(len(u_s), bool)
+        new[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[new], pa.int64()),
+                "week": pa.array(w_s[new], pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        w = group["week"].to_numpy()
+        order = np.lexsort((w, uid))
+        u_s, w_s = uid[order], w[order]
+        new = np.ones(len(u_s), bool)
+        new[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+        u_s, w_s = u_s[new], w_s[new]
+        # (u, w+1) present?  weeks fit far under 2^20, so the packed
+        # key is safe in int64
+        k = u_s * np.int64(1 << 20) + w_s
+        nxt = u_s * np.int64(1 << 20) + (w_s + 1)
+        pos = np.searchsorted(k, nxt)
+        safe = np.minimum(pos, len(k) - 1)
+        retained = (k[safe] == nxt).astype(np.int64)
+        # per-week partials within the bucket
+        order2 = np.argsort(w_s, kind="stable")
+        w_o = w_s[order2]
+        newW = np.ones(len(w_o), bool)
+        newW[1:] = w_o[1:] != w_o[:-1]
+        starts = np.flatnonzero(newW)
+        return pa.table(
+            {
+                "week": pa.array(w_o[starts], pa.int64()),
+                "n_active": pa.array(np.add.reduceat(np.ones(len(w_o), np.int64), starts), pa.int64()),
+                "n_retained": pa.array(np.add.reduceat(retained[order2], starts), pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        w = group["week"].to_numpy()
+        a = group["n_active"].to_numpy()
+        r = group["n_retained"].to_numpy()
+        order = np.argsort(w, kind="stable")
+        w_s = w[order]
+        new = np.ones(len(w_s), bool)
+        new[1:] = w_s[1:] != w_s[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "week": pa.array(w_s[starts], pa.int64()),
+                "n_active": pa.array(np.add.reduceat(a[order], starts), pa.int64()),
+                "n_retained": pa.array(np.add.reduceat(r[order], starts), pa.int64()),
+            }
+        )
+
+    ds = _events_read(sf_dir, ["ts", "user_id"])
+    p = ds.map_batches(pairs, batch_format="pyarrow")
+    merged = _bucket_tag(p, "user_id", join_partitions(None)).map_groups(per_bucket, batch_format="pyarrow")
+    # week count is bounded by the corpus time range — safe groupby
+    return _bucket_tag(merged, "week", join_partitions(None)).map_groups(fold, batch_format="pyarrow").sort("week")

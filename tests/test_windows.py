@@ -54,6 +54,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "text_tfidf_topk",
         "crawl_pagerank",
         "dedup_clusters",
+        "events_funnel",
+        "events_retention",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
