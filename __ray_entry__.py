@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         session_windows,
         top_users_per_type,
         tumbling_window,
+        user_pivot,
         weekly_retention,
     )
     from polipus_ray.ops.relational import order_revenue_topn, pricing_summary, region_sales
@@ -158,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention — one bounded user-bucket shuffle each
         "events_funnel": lambda sf: funnel_completions(sf, steps=("view", "click", "purchase"), within_s=7 * 86400),
         "events_retention": weekly_retention,
+        # per-user wide profile (pivot): count per type + exact cents
+        "events_user_pivot": user_pivot,
     }
 
 
@@ -833,6 +836,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(count(b.user_id) AS BIGINT) AS n_retained
             FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.w = a.w + 1
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_user_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_value_c
+            FROM events GROUP BY 1 ORDER BY 1
         """,
     }
     for name, builder in (

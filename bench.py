@@ -181,6 +181,9 @@ def bench_ops() -> dict:
 
     timed("events_funnel", lambda: funnel_completions(SF_DIR))
     timed("events_retention", lambda: weekly_retention(SF_DIR))
+    from polipus_ray.ops.windows import user_pivot
+
+    timed("events_user_pivot", lambda: user_pivot(SF_DIR))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

@@ -43,6 +43,7 @@ from .windows import (
     session_windows,
     top_users_per_type,
     tumbling_window,
+    user_pivot,
     weekly_retention,
 )
 
@@ -84,4 +85,5 @@ __all__ = [
     "dedup_clusters",
     "funnel_completions",
     "weekly_retention",
+    "user_pivot",
 ]

@@ -244,11 +244,18 @@ def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date
         return batch.filter(pa.array(hit)).drop_columns(["o_custkey"])
 
     orders = orders.map_batches(seg_filter, batch_format="pyarrow")
-    # large-large distributed hash join: revenue x orders on orderkey
+    # large-large distributed hash join: revenue x orders on orderkey.
+    # Size the partition count from the bigger input's ROW COUNT
+    # (parquet metadata — free), not the CPU count: each partition
+    # spins an aggregator actor, and 32 partitions for a sub-100k-row
+    # join is pure spin-up (measured 2.5 s -> sub-second at sf0.1)
+    import pyarrow.parquet as pq2
+
+    n_orders = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     joined = rev.join(
         orders,
         join_type="inner",
-        num_partitions=join_partitions(None),
+        num_partitions=join_partitions(n_orders),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

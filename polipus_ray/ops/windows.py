@@ -799,3 +799,61 @@ def weekly_retention(sf_dir: str, bucket_s: int = 7 * 86400):
     merged = _bucket_tag(p, "user_id", join_partitions(None)).map_groups(per_bucket, batch_format="pyarrow")
     # week count is bounded by the corpus time range — safe groupby
     return _bucket_tag(merged, "week", join_partitions(None)).map_groups(fold, batch_format="pyarrow").sort("week")
+
+
+def user_pivot(sf_dir: str, types: tuple[str, ...] = ("view", "click", "purchase", "signup", "error")):
+    """Per-user wide profile (pivot shape): one row per user with a
+    count column per event type plus the exact total value in cents —
+    the feature-assembly plan every user-level model input needs.
+
+    Map-side partial: per batch one (user, type) composite bincount ->
+    at most |users-in-batch| rows with |types|+1 int columns; then one
+    bounded user-bucket merge (elementwise sums).  Integer cents keep
+    the value sum order-independent."""
+    import ray.data  # noqa: F401
+
+    from polipus_ray.ops.dedup import join_partitions
+
+    tl = list(types)
+    K = len(tl)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        code = pc.index_in(batch["event_type"], value_set=pa.array(tl)).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(code.astype(np.float64)) if code.dtype.kind == "f" else np.ones(len(code), bool)
+        code = np.where(known, code, 0).astype(np.int64)
+        users = np.unique(uid)
+        urank = np.searchsorted(users, uid)
+        cnt = np.bincount((urank * K + code)[known], minlength=len(users) * K).reshape(len(users), K)
+        tot = np.zeros(len(users), np.int64)
+        order = np.argsort(urank, kind="stable")
+        u_s = urank[order]
+        new = np.ones(len(u_s), bool)
+        new[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(new)
+        tot[u_s[starts]] = np.add.reduceat(cents[order], starts)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users, pa.int64())}
+        for k, t in enumerate(tl):
+            cols[f"n_{t}"] = pa.array(cnt[:, k], pa.int64())
+        cols["total_value_c"] = pa.array(tot, pa.int64())
+        return pa.table(cols)
+
+    def merge(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        users = np.unique(uid)
+        urank = np.searchsorted(users, uid)
+        order = np.argsort(urank, kind="stable")
+        u_s = urank[order]
+        new = np.ones(len(u_s), bool)
+        new[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(new)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users, pa.int64())}
+        for c in [f"n_{t}" for t in tl] + ["total_value_c"]:
+            v = group[c].to_numpy()[order]
+            cols[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    ds = _events_read(sf_dir, ["user_id", "event_type", "value"])
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucket_tag(p, "user_id", join_partitions(None)).map_groups(merge, batch_format="pyarrow").sort("user_id")

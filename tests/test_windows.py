@@ -56,6 +56,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "dedup_clusters",
         "events_funnel",
         "events_retention",
+        "events_user_pivot",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
