@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         simhash_pairs,
     )
     from polipus_ray.ops.ann import ann_range_search
-    from polipus_ray.ops.sample import sample_hash_pct, sample_stratified_topk
+    from polipus_ray.ops.sample import pack_greedy, sample_hash_pct, sample_stratified_topk
     from polipus_ray.ops.text import (
         chunk_tokens,
         fingerprints,
@@ -161,7 +161,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": weekly_retention,
         # per-user wide profile (pivot): count per type + exact cents
         "events_user_pivot": user_pivot,
+        # deterministic greedy sequence packing (serialism bounded per
+        # pack group; groups pack in parallel)
+        "docs_pack_greedy": lambda sf: pack_greedy(sf, capacity=256, group=32),
+        # end-to-end curation verdict: exact-dedup keep + quality +
+        # repetition rules in one pass + one bounded shuffle
+        "docs_curation": _curation,
     }
+
+
+def _curation(sf: str):
+    from polipus_ray.ops.curate import curation
+
+    return curation(sf)
 
 
 def _dedup_clusters(sf: str):
@@ -846,6 +858,53 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) FILTER (event_type = 'error') AS n_error,
                    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_value_c
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # greedy first-fit packing replayed as a recursive CTE that
+        # steps one row per pack group per iteration
+        "docs_pack_greedy": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id // 32 AS g,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS tok,
+                     row_number() OVER (PARTITION BY doc_id // 32 ORDER BY doc_id) AS rn
+              FROM documents
+            ), p AS (
+              SELECT g, rn, doc_id, tok, tok AS fill, CAST(0 AS BIGINT) AS bin FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.g, t.rn, t.doc_id, t.tok,
+                     CASE WHEN p.fill + t.tok > 256 THEN t.tok ELSE p.fill + t.tok END,
+                     CASE WHEN p.fill + t.tok > 256 THEN p.bin + 1 ELSE p.bin END
+              FROM t JOIN p ON t.g = p.g AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, g AS pack_group, bin AS bin_id, tok AS n_tokens
+            FROM p ORDER BY doc_id
+        """,
+        # composite curation verdict (thresholds mirror ops/curate.py)
+        "docs_curation": r"""
+            WITH w AS (
+              SELECT doc_id, string_split(text,' ')[CAST(u.i AS INTEGER)] AS word
+              FROM documents, unnest(range(1, len(string_split(text,' ')) + 1)) AS u(i)
+            ), stats AS (
+              SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct FROM w GROUP BY 1
+            ), wc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1,2),
+            top AS (
+              SELECT doc_id, top_chars FROM (
+                SELECT doc_id, length(word)*cnt AS top_chars,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+              WHERE rn = 1
+            ), sig AS (
+              SELECT d.doc_id, s.n_words, s.n_distinct, t.top_chars,
+                     len(regexp_extract_all(lower(d.text), '\b(the|and|of|a|to|in|is)\b')) AS stop_cnt,
+                     length(d.text) AS n_chars,
+                     ('0x'||substr(md5(d.text),1,16))::UBIGINT AS h
+              FROM documents d JOIN stats s USING(doc_id) JOIN top t USING(doc_id)
+            ), dd AS (SELECT h, min(doc_id) AS keeper FROM sig GROUP BY 1)
+            SELECT sig.doc_id,
+                   (sig.doc_id = dd.keeper) AS keep_dedup,
+                   (sig.n_words BETWEEN 30 AND 500 AND sig.stop_cnt >= 2) AS keep_quality,
+                   (sig.n_distinct * 10 >= sig.n_words * 3 AND sig.top_chars * 5 <= sig.n_chars) AS keep_repetition,
+                   (sig.doc_id = dd.keeper AND sig.n_words BETWEEN 30 AND 500 AND sig.stop_cnt >= 2
+                    AND sig.n_distinct * 10 >= sig.n_words * 3 AND sig.top_chars * 5 <= sig.n_chars) AS keep
+            FROM sig JOIN dd USING(h) ORDER BY doc_id
         """,
     }
     for name, builder in (

@@ -184,6 +184,12 @@ def bench_ops() -> dict:
     from polipus_ray.ops.windows import user_pivot
 
     timed("events_user_pivot", lambda: user_pivot(SF_DIR))
+    from polipus_ray.ops.sample import pack_greedy
+
+    timed("docs_pack_greedy", lambda: pack_greedy(SF_DIR))
+    from polipus_ray.ops.curate import curation
+
+    timed("docs_curation", lambda: curation(SF_DIR))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

@@ -19,9 +19,10 @@ from .dedup import (
     semantic_dup_pairs,
     simhash_pairs,
 )
+from .curate import curation
 from .graph import pagerank
 from .relational import order_revenue_topn, pricing_summary, region_sales
-from .sample import sample_hash_pct, sample_stratified_topk
+from .sample import pack_greedy, sample_hash_pct, sample_stratified_topk
 from .images import decode_stage, phash_neardup_keep_first
 from .text import (
     chunk_tokens,
@@ -86,4 +87,6 @@ __all__ = [
     "funnel_completions",
     "weekly_retention",
     "user_pivot",
+    "pack_greedy",
+    "curation",
 ]

@@ -92,3 +92,68 @@ def sample_stratified_topk(sf_dir: str, k: int = 10):
     path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "lang"], override_num_blocks=small_read_blocks(path))
     return ds.map_batches(partial, batch_format="pyarrow").groupby("lang").map_groups(merge, batch_format="pyarrow").sort(["lang", "rank"])
+
+
+def pack_greedy(sf_dir: str, capacity: int = 256, group: int = 32):
+    """Deterministic sequence packing: docs are split into fixed
+    ``group``-sized pack groups by ``doc_id // group``, and within each
+    group greedily first-fit packed IN doc_id ORDER into bins of
+    ``capacity`` tokens (space-split count) — a new bin starts when the
+    running fill would overflow; an oversize doc occupies its own bin.
+    Output: doc_id, pack_group, bin_id, n_tokens.
+
+    The greedy scan is inherently serial PER GROUP — that's why the
+    group exists: it bounds the serialism to ``group`` docs, groups
+    pack independently in parallel (one bounded bucket shuffle), and
+    the group id is derivable from doc_id alone so the assignment is
+    stable under any execution order.  The SQL oracle replays the scan
+    as a recursive CTE stepping one row per group per iteration."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from polipus_ray.ops.dedup import join_partitions, small_read_blocks
+    from polipus_ray.ops.windows import _bucket_tag
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        n = pc.add(pc.count_substring(batch["text"], " "), 1).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "g": pa.array(ids // group, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    def pack(bucket: pa.Table) -> pa.Table:
+        ids = bucket["doc_id"].to_numpy()
+        g = bucket["g"].to_numpy()
+        tok = bucket["n_tokens"].to_numpy()
+        order = np.lexsort((ids, g))
+        ids, g, tok = ids[order], g[order], tok[order]
+        bins = np.empty(len(ids), np.int64)
+        fill = 0
+        b = 0
+        for i in range(len(ids)):  # bounded: <= `group` rows per group
+            if i == 0 or g[i] != g[i - 1]:
+                b, fill = 0, tok[i]
+            elif fill + tok[i] > capacity:
+                b, fill = b + 1, tok[i]
+            else:
+                fill += tok[i]
+            bins[i] = b
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pack_group": pa.array(g, pa.int64()),
+                "bin_id": pa.array(bins, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+            }
+        )
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
+    t = ds.map_batches(toks, batch_format="pyarrow")
+    return _bucket_tag(t, "g", join_partitions(None)).map_groups(pack, batch_format="pyarrow").sort("doc_id")

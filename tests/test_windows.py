@@ -57,6 +57,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "events_funnel",
         "events_retention",
         "events_user_pivot",
+        "docs_pack_greedy",
+        "docs_curation",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
