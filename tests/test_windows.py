@@ -227,3 +227,109 @@ def test_quantile_lerp_matches_duckdb_bitexact():
             frac = r - lo
             mine = s[lo] * (1 - frac) + s[min(lo + 1, n - 1)] * frac
             assert d == mine, (seed, n, q, d, mine)
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "sfevents"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+def test_funnel_edge_semantics(ray_session, tmp_path):
+    """Pins the greedy funnel edges: equal-timestamp step matches count
+    (>= is inclusive), steps must be ordered (a click BEFORE the first
+    view does not match), and the completion window is inclusive."""
+    from polipus_ray.ops.windows import funnel_completions
+
+    H = 3_600_000_000  # 1h in us
+    rows = [
+        # user 1: click before view -> click at t=5h after view matches
+        (1, 2 * H, 1, "click", 0),
+        (2, 3 * H, 1, "view", 0),
+        (3, 5 * H, 1, "click", 0),
+        (4, 6 * H, 1, "purchase", 0),
+        # user 2: equal-ts chain view==click==purchase -> all match
+        (5, 10 * H, 2, "view", 0),
+        (6, 10 * H, 2, "click", 0),
+        (7, 10 * H, 2, "purchase", 0),
+        # user 3: completes exactly AT the window bound (inclusive)
+        (8, 0 * H, 3, "view", 0),
+        (9, 1 * H, 3, "click", 0),
+        (10, 24 * H, 3, "purchase", 0),
+        # user 4: missing middle step -> no row
+        (11, 1 * H, 4, "view", 0),
+        (12, 2 * H, 4, "purchase", 0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = funnel_completions(sf, steps=("view", "click", "purchase"), within_s=24 * 3600).to_pandas()
+    got = {int(r.user_id): (int(r.t1_us), int(r.t2_us), int(r.t3_us)) for r in out.itertuples()}
+    assert got == {
+        1: (3 * H, 5 * H, 6 * H),
+        2: (10 * H, 10 * H, 10 * H),
+        3: (0, 1 * H, 24 * H),
+    }
+
+
+def test_retention_edge_semantics(ray_session, tmp_path):
+    """A user active in weeks 0 and 1 is retained in week 0 but not in
+    week 1 (no week-2 activity); duplicate events inside a week count
+    once."""
+    from polipus_ray.ops.windows import weekly_retention
+
+    W = 7 * 86_400_000_000
+    rows = [
+        (1, 0, 1, "view", 0),
+        (2, 1, 1, "view", 0),  # dup within week 0
+        (3, W + 5, 1, "view", 0),  # week 1
+        (4, 10, 2, "view", 0),  # week 0 only
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = weekly_retention(sf).to_pandas().set_index("week")
+    assert int(out.loc[0, "n_active"]) == 2 and int(out.loc[0, "n_retained"]) == 1
+    assert int(out.loc[1, "n_active"]) == 1 and int(out.loc[1, "n_retained"]) == 0
+
+
+def test_pack_greedy_boundaries(ray_session, tmp_path):
+    """An exactly-full bin closes without spilling; an oversize doc
+    occupies its own bin; group boundaries reset the fill."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polipus_ray.ops.sample import pack_greedy
+
+    def doc(n):  # text with exactly n space-split tokens
+        return " ".join(["w"] * n)
+
+    # group 0: 3 + 5 fills cap=8 exactly, next doc starts bin 1;
+    # doc 3 is oversize (10 > 8) -> own bin; doc 32 is a new group
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 32], pa.int64()),
+            "text": pa.array([doc(3), doc(5), doc(2), doc(10), doc(4)], pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["t"] * 5, pa.string()),
+            "n_chars": pa.array([1] * 5, pa.int64()),
+        }
+    )
+    d = tmp_path / "sfdocs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = pack_greedy(str(d), capacity=8, group=32).to_pandas().set_index("doc_id")
+    assert out.loc[0, "bin_id"] == 0 and out.loc[1, "bin_id"] == 0  # 3+5 == 8 fits
+    assert out.loc[2, "bin_id"] == 1  # would overflow -> new bin
+    assert out.loc[3, "bin_id"] == 2  # oversize -> own bin
+    assert out.loc[32, "bin_id"] == 0 and out.loc[32, "pack_group"] == 1  # fresh group
