@@ -676,15 +676,18 @@ def funnel_completions(sf_dir: str, steps: tuple[str, ...] = ("view", "click", "
                 {"user_id": pa.array([], pa.int64()), **{f"t{k + 1}_us": pa.array([], pa.int64()) for k in range(len(step_list))}}
             )
         users = np.unique(uid)
-        # rank-compress users + offset timestamps so the composite
-        # (rank, ts) key stays well inside int64: rank < bucket rows,
-        # span = event-time range of this bucket
-        t0 = ts.min()
-        span = int(ts.max() - t0) + 2
+        # rank-compress BOTH key parts so the composite (user-rank,
+        # ts-rank) stays well inside int64 regardless of id/timestamp
+        # magnitudes: each factor is bounded by the bucket's row count,
+        # so the product is bounded by rows^2
+        uts = np.unique(ts)
+        span = len(uts) + 1
         urank = np.searchsorted(users, uid)
 
         def key(r: np.ndarray, t: np.ndarray) -> np.ndarray:
-            return r.astype(np.int64) * span + np.clip(t - t0, 0, span - 1)
+            # ts >= c  <=>  rank(ts) >= insertion_point(c), so the
+            # rank-space search returns the same position
+            return r.astype(np.int64) * span + np.searchsorted(uts, t)
 
         alive = np.ones(len(users), bool)
         cur = np.zeros(len(users), np.int64)
@@ -756,10 +759,12 @@ def weekly_retention(sf_dir: str, bucket_s: int = 7 * 86400):
         new = np.ones(len(u_s), bool)
         new[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
         u_s, w_s = u_s[new], w_s[new]
-        # (u, w+1) present?  weeks fit far under 2^20, so the packed
-        # key is safe in int64
-        k = u_s * np.int64(1 << 20) + w_s
-        nxt = u_s * np.int64(1 << 20) + (w_s + 1)
+        # (u, w+1) present?  rank-compress users first so the packed
+        # key stays in int64 even when user ids are 64-bit hashes
+        # (raw id << 20 would overflow); weeks fit far under 2^20
+        ur = np.searchsorted(np.unique(u_s), u_s)
+        k = ur * np.int64(1 << 20) + w_s
+        nxt = ur * np.int64(1 << 20) + (w_s + 1)
         pos = np.searchsorted(k, nxt)
         safe = np.minimum(pos, len(k) - 1)
         retained = (k[safe] == nxt).astype(np.int64)
