@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl image stages (rows-only)
         "crawl_phash_neardup": cq.crawl_phash_neardup,
         "crawl_decode_verify": cq.crawl_decode_verify,
+        # crawl-output analytics: per-host rollup of the bfs2 crawl
+        "crawl_host_stats": cq.crawl_host_stats,
         # training-data operators (SQL-oracle-checked; every hash is
         # md5-derived so DuckDB replicates candidates AND verification)
         "dedup_exact": exact_dedup,
@@ -877,6 +879,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             SELECT doc_id, g AS pack_group, bin AS bin_id, tok AS n_tokens
             FROM p ORDER BY doc_id
+        """,
+        # per-host rollup of the depth-2 crawl (same reach CTE as
+        # crawl_bfs_depth2, grouped by host)
+        "crawl_host_stats": f"""
+            WITH RECURSIVE
+            links AS (
+                SELECT d.doc_id AS src,
+                       ((d.doc_id + k.k * 16 * (1 + ((d.doc_id // 16) % 64))) % {n_eff}) AS dst
+                FROM documents d CROSS JOIN (SELECT unnest([1,2,3]) AS k) k
+                WHERE (d.doc_id % 37) <> 0
+            ),
+            reach(doc_id, depth) AS (
+                SELECT doc_id, 0 FROM documents
+                WHERE doc_id < {_NUM_SEEDS} AND {_ALLOWED_SQL}
+                UNION
+                SELECT l.dst, r.depth + 1
+                FROM reach r JOIN links l ON l.src = r.doc_id
+                WHERE r.depth < 2
+                  AND l.dst IN (SELECT doc_id FROM documents WHERE {_ALLOWED_SQL})
+            ),
+            pages AS (SELECT doc_id, MIN(depth) AS depth FROM reach GROUP BY doc_id)
+            SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' AS host,
+                   count(*) AS n_pages,
+                   CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
+                   CAST(MIN(depth) AS BIGINT) AS min_depth,
+                   CAST(MAX(depth) AS BIGINT) AS max_depth
+            FROM pages GROUP BY 1 ORDER BY 1
         """,
         # composite curation verdict (thresholds mirror ops/curate.py)
         "docs_curation": r"""

@@ -1,12 +1,16 @@
 """Training-data pipeline operators over the driver testdata tables
-(documents / embeddings) and the crawl pages table — the 100 TB-scale
-toolbox that complements the crawl engine: dedup (exact, MinHash-LSH,
-SimHash, n-gram Jaccard, embedding cosine exact/LSH, SemDeDup-style
-cluster-scoped), similarity search (brute cosine + IVF + range),
-text analysis (lang-id, quality, tokens, fingerprint, vocabulary),
-deterministic sampling (hash-pct, stratified top-k), event-time ops
-(windows, sessions, as-of join, exact quantile sieve, HLL sketch),
-image stages (decode / phash / near-dup suppression)."""
+(documents / embeddings / events / TPC-H) and the crawl pages table —
+the 100 TB-scale toolbox that complements the crawl engine: dedup
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine
+exact/LSH, SemDeDup-style cluster-scoped, cluster assignment),
+similarity search (brute cosine + IVF + range), text analysis
+(lang-id, quality, tokens, fingerprint, vocabulary, repetition,
+chunking, TF-IDF retrieval), deterministic sampling + greedy sequence
+packing, event-time ops (windows, sessions, as-of join, funnel,
+retention, pivot, exact quantile sieve, HLL sketch), relational plans
+(rollup / hash join / star), graph analytics (integer PageRank),
+corpus curation, image stages (decode / phash / near-dup
+suppression)."""
 
 from .ann import ann_range_search, ann_topk_bruteforce, ann_topk_ivf
 from .dedup import (

@@ -201,3 +201,35 @@ def crawl_decode_verify(sf_dir: str):
     world_dir = sql_world_for(sf_dir)
     ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "bytes", "phash"])
     return decode_stage(ds, id_col="doc_id")
+
+
+def crawl_host_stats(sf_dir: str) -> pa.Table:
+    """Per-host rollup of the depth-2 BFS crawl output (the analytics
+    read every crawl ops dashboard runs over the pages table): pages
+    stored, 404 count, and min/max depth reached per host.  Reuses the
+    memoized bfs2 crawl; the rollup itself is a map-side partial +
+    tiny host-bounded fold over the round-partitioned parquet."""
+    import numpy as np
+
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, checkpoint=False)
+    eng = _crawled_pages(sf_dir, cfg, "bfs2")
+    from ..frontier.engine import read_pages_dir
+
+    t = read_pages_dir(eng.pages_root, columns=["host", "code", "depth"])
+    hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+    code = t["code"].to_numpy()
+    depth = t["depth"].to_numpy()
+    uh = np.unique(hosts)
+    rows = []
+    for h in uh:
+        sel = hosts == h
+        rows.append((h, int(sel.sum()), int((code[sel] == 404).sum()), int(depth[sel].min()), int(depth[sel].max())))
+    return pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "n_pages": pa.array([r[1] for r in rows], pa.int64()),
+            "n_404": pa.array([r[2] for r in rows], pa.int64()),
+            "min_depth": pa.array([r[3] for r in rows], pa.int64()),
+            "max_depth": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )

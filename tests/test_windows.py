@@ -59,6 +59,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "events_user_pivot",
         "docs_pack_greedy",
         "docs_curation",
+        "crawl_host_stats",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
