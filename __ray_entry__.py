@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         semantic_dup_pairs,
         simhash_pairs,
     )
-    from polipus_ray.ops.ann import ann_range_search
+    from polipus_ray.ops.ann import ann_range_search, label_vector_sums
     from polipus_ray.ops.sample import pack_greedy, sample_hash_pct, sample_stratified_topk
     from polipus_ray.ops.text import (
         chunk_tokens,
@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end curation verdict: exact-dedup keep + quality +
         # repetition rules in one pass + one bounded shuffle
         "docs_curation": _curation,
+        # vector-column aggregation: per-(label, dim) integer-scaled
+        # centroid sums (the IVF/SemDeDup training inner step)
+        "emb_label_sums": label_vector_sums,
     }
 
 
@@ -906,6 +909,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(MIN(depth) AS BIGINT) AS min_depth,
                    CAST(MAX(depth) AS BIGINT) AS max_depth
             FROM pages GROUP BY 1 ORDER BY 1
+        """,
+        # per-(label, dim) vector sums; the DOUBLE cast matters — the
+        # stored floats are float32 and DuckDB would otherwise multiply
+        # in float32 while numpy promotes to float64
+        "emb_label_sums": """
+            WITH v AS (
+              SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
+                     CAST(round(CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS x
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+            )
+            SELECT label, dim, CAST(sum(x) AS BIGINT) AS sum_scaled,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM v GROUP BY 1,2 ORDER BY 1,2
         """,
         # composite curation verdict (thresholds mirror ops/curate.py)
         "docs_curation": r"""

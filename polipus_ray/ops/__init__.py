@@ -12,7 +12,7 @@ retention, pivot, exact quantile sieve, HLL sketch), relational plans
 corpus curation, image stages (decode / phash / near-dup
 suppression)."""
 
-from .ann import ann_range_search, ann_topk_bruteforce, ann_topk_ivf
+from .ann import ann_range_search, ann_topk_bruteforce, ann_topk_ivf, label_vector_sums
 from .dedup import (
     dedup_clusters,
     embedding_dup_pairs,
@@ -93,4 +93,5 @@ __all__ = [
     "user_pivot",
     "pack_greedy",
     "curation",
+    "label_vector_sums",
 ]

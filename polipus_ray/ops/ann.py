@@ -244,3 +244,75 @@ def ann_topk_ivf(sf_dir: str, k: int = 5, num_queries: int = 10, nlist: int = 16
 
     ds = _emb_read(sf_dir)
     return ds.map_batches(partial, batch_format="pyarrow", batch_size=1024).groupby("query_id").map_groups(merge, batch_format="pyarrow").sort(["query_id", "rank"])
+
+
+def label_vector_sums(sf_dir: str, scale: int = 1_000_000):
+    """Per-label vector aggregate over the embedding column — the
+    centroid-accumulation plan (SemDeDup/IVF training's inner step) as
+    a standalone query: for every (label, dimension), the exact sum of
+    ``round(value * scale)`` plus the label's vector count.
+
+    Map-side partial: each batch reshapes the list column to an (n, d)
+    matrix once and folds per-label sums with one lexsort +
+    ``add.reduceat`` — the shuffle carries O(labels x dims) rows per
+    block, never vectors.  Integer scaling makes the sums
+    order-independent and bit-exact vs the SQL oracle (float32 values
+    are exactly representable as doubles, so round(x*scale) agrees
+    across engines).  Output: label, dim, sum_scaled, n_vectors."""
+    import ray.data
+
+    from polipus_ray.ops.dedup import emb_matrix, small_read_blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy().astype(np.int64)
+        M = np.round(emb_matrix(batch["embedding"]) * scale).astype(np.int64)
+        d = M.shape[1]
+        order = np.argsort(lab, kind="stable")
+        l_s = lab[order]
+        new = np.ones(len(l_s), bool)
+        new[1:] = l_s[1:] != l_s[:-1]
+        starts = np.flatnonzero(new)
+        labs = l_s[starts]
+        sums = np.add.reduceat(M[order], starts, axis=0)  # (L, d)
+        cnt = np.diff(np.append(starts, len(l_s)))
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(labs, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(labs)), pa.int64()),
+                "sum_scaled": pa.array(sums.ravel(), pa.int64()),
+                "n_vectors": pa.array(np.repeat(cnt.astype(np.int64), d), pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        lab = group["label"].to_numpy()
+        dim = group["dim"].to_numpy()
+        s = group["sum_scaled"].to_numpy()
+        n = group["n_vectors"].to_numpy()
+        key = lab * (dim.max() + 1 if len(dim) else 1) + dim
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        new = np.ones(len(k_s), bool)
+        new[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k_s))
+        return pa.table(
+            {
+                "label": pa.array(lab[order][starts], pa.int64()),
+                "dim": pa.array(dim[order][starts], pa.int64()),
+                "sum_scaled": pa.array(np.add.reduceat(s[order], starts), pa.int64()),
+                # n_vectors rides on every dim row of a label; within a
+                # (label, dim) group the per-partial counts SUM
+                "n_vectors": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+            }
+        )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["label", "embedding"], override_num_blocks=small_read_blocks(path))
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    from polipus_ray.ops.dedup import join_partitions
+    from polipus_ray.ops.windows import _bucket_tag
+
+    # bounded bucket shuffle on label (labels x dims rows only)
+    folded = _bucket_tag(parts, "label", join_partitions(None)).map_groups(merge, batch_format="pyarrow")
+    return folded.sort(["label", "dim"])

@@ -60,6 +60,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "docs_pack_greedy",
         "docs_curation",
         "crawl_host_stats",
+        "emb_label_sums",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
