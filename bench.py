@@ -82,17 +82,10 @@ def bench_crawl(world_dir: str) -> dict:
         # 32 actors did), few enough not to oversubscribe the cores
         # (W=16 with 16 shards measured 2x slower than with 8)
         num_seen_shards=None,
-        # provision the cuckoo capacity from the WORLD, like a real
-        # deployment sizes its tracker from the crawl budget: the 1M
-        # default (reference bloomfilter default) across 8 shards is 8M
-        # slots — a 14.4M-URL crawl blows past that into the overflow
-        # stash (linear scan), exploding the admit-probe phase 37x and
-        # making the 8-worker leg look super-linearly slow vs 32
-        # workers (16 shards) in the r4s9 campaign (BASELINE.md)
-        seen_capacity_per_shard=max(
-            1_000_000,
-            int(N_PAGES * 5 // (4 * max(8, int(os.environ.get("GRAFT_WORKERS", NUM_CPUS)) // 2))),
-        ),
+        # seen capacity: None = the engine auto-provisions 1.25x the
+        # world's URL count across the shards (min 1M) — see the r4s9
+        # stash-scan finding in BASELINE.md
+        seen_capacity_per_shard=None,
         checkpoint=False,
         verify_payload=True,  # decode + phash-verify every payload (M15)
         phash_scales=3,  # multi-scale fingerprint pyramid per payload

@@ -76,7 +76,13 @@ class CrawlConfig:
     # (W=16 with 16 shards measured 2x slower than with 8).
     num_seen_shards: Any = None
     seen_kind: str = "cuckoo"  # 'cuckoo' | 'exact'
-    seen_capacity_per_shard: int = 1_000_000
+    # None = auto: the engine provisions 1.25x the world's URL count
+    # across the shards (min 1M/shard, the reference bloomfilter
+    # default).  An explicit int is respected as-is.  A fixed default
+    # collapses at scale: an under-provisioned cuckoo spills into its
+    # overflow stash, whose linear scans exploded the admit-probe
+    # phase 37x on a 14.4M-URL crawl with 8 shards (BASELINE.md r4s9).
+    seen_capacity_per_shard: Any = None
     # NOTE: the frontier/web partitioning key space (host buckets) is a
     # property of the WORLD layout (world.json num_buckets), not config —
     # the engine reads it from the world manifest.

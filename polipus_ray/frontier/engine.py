@@ -224,10 +224,18 @@ class CrawlEngine:
         # this sandbox; lifting the gate is a measurement task, not a
         # design change.
         self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool" and _single_node())
+        _n_shards = cfg.resolved_num_seen_shards()
+        _cap = cfg.seen_capacity_per_shard
+        if _cap is None:
+            # auto-provision from the world manifest (1.25x URLs over
+            # the shards; min 1M = reference bloomfilter default) — an
+            # under-provisioned cuckoo degrades into stash scans
+            _rows = int(self.world.get("rows", 0) or 0)
+            _cap = max(1_000_000, _rows * 5 // (4 * _n_shards))
         self.pool = pool or SeenShardPool(
-            num_shards=cfg.resolved_num_seen_shards(),
+            num_shards=_n_shards,
             kind=cfg.seen_kind,
-            capacity_per_shard=cfg.seen_capacity_per_shard,
+            capacity_per_shard=_cap,
             use_ray=use_ray,
         )
         self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
