@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top_users_per_type,
         tumbling_window,
         user_pivot,
+        value_histogram,
         weekly_retention,
     )
     from polipus_ray.ops.relational import order_revenue_topn, pricing_summary, region_sales
@@ -172,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector-column aggregation: per-(label, dim) integer-scaled
         # centroid sums (the IVF/SemDeDup training inner step)
         "emb_label_sums": label_vector_sums,
+        # fixed-bin value distribution per type (data-quality histogram)
+        "events_value_histogram": lambda sf: value_histogram(sf, bin_cents=1000),
     }
 
 
@@ -909,6 +912,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(MIN(depth) AS BIGINT) AS min_depth,
                    CAST(MAX(depth) AS BIGINT) AS max_depth
             FROM pages GROUP BY 1 ORDER BY 1
+        """,
+        # fixed $10 bins over integer cents (all values positive, so
+        # DuckDB's truncating // == numpy's floor //)
+        "events_value_histogram": """
+            SELECT event_type,
+                   (CAST(round(value*100) AS BIGINT) // 1000) * 1000 AS bin,
+                   count(*) AS n_events
+            FROM events GROUP BY 1,2 ORDER BY 1,2
         """,
         # per-(label, dim) vector sums; the DOUBLE cast matters — the
         # stored floats are float32 and DuckDB would otherwise multiply

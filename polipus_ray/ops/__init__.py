@@ -49,6 +49,7 @@ from .windows import (
     top_users_per_type,
     tumbling_window,
     user_pivot,
+    value_histogram,
     weekly_retention,
 )
 
@@ -94,4 +95,5 @@ __all__ = [
     "pack_greedy",
     "curation",
     "label_vector_sums",
+    "value_histogram",
 ]

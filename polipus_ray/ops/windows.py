@@ -862,3 +862,55 @@ def user_pivot(sf_dir: str, types: tuple[str, ...] = ("view", "click", "purchase
     ds = _events_read(sf_dir, ["user_id", "event_type", "value"])
     p = ds.map_batches(partial, batch_format="pyarrow")
     return _bucket_tag(p, "user_id", join_partitions(None)).map_groups(merge, batch_format="pyarrow").sort("user_id")
+
+
+def value_histogram(sf_dir: str, bin_cents: int = 1000):
+    """Fixed-bin value distribution per event type — the data-quality
+    histogram every ingest dashboard draws.  Map-side: one composite
+    bincount per batch over (type, value_cents // bin_cents); the
+    shuffle carries O(types x bins) partial rows, never events; merge
+    is a bounded bucket fold.  Output: event_type, bin (lower edge in
+    cents), n_events."""
+    import ray.data  # noqa: F401
+
+    from polipus_ray.ops.dedup import join_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        b = (cents // bin_cents) * bin_cents
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((b, codes))
+        c_s, b_s = codes[order], b[order]
+        new = np.ones(len(c_s), bool)
+        new[1:] = (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.take(pa.array(c_s[starts])),
+                "bin": pa.array(b_s[starts], pa.int64()),
+                "n_events": pa.array(np.diff(np.append(starts, len(c_s))).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        types = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        b = group["bin"].to_numpy()
+        n = group["n_events"].to_numpy()
+        trank = np.searchsorted(np.sort(np.unique(types)), types)
+        order = np.lexsort((b, trank))
+        t_s, b_s = trank[order], b[order]
+        new = np.ones(len(t_s), bool)
+        new[1:] = (t_s[1:] != t_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "event_type": pa.array(types[order][starts], pa.string()),
+                "bin": pa.array(b_s[starts], pa.int64()),
+                "n_events": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+            }
+        )
+
+    ds = _events_read(sf_dir, ["event_type", "value"])
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucket_tag(parts, "bin", join_partitions(None)).map_groups(fold, batch_format="pyarrow").sort(["event_type", "bin"])

@@ -61,6 +61,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "docs_curation",
         "crawl_host_stats",
         "emb_label_sums",
+        "events_value_histogram",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
