@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         session_windows,
         top_users_per_type,
         tumbling_window,
+        type_transitions,
         user_pivot,
         value_histogram,
         weekly_retention,
@@ -175,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_sums": label_vector_sums,
         # fixed-bin value distribution per type (data-quality histogram)
         "events_value_histogram": lambda sf: value_histogram(sf, bin_cents=1000),
+        # per-user sequence bigrams (transition matrix)
+        "events_type_transitions": type_transitions,
     }
 
 
@@ -912,6 +915,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(MIN(depth) AS BIGINT) AS min_depth,
                    CAST(MAX(depth) AS BIGINT) AS max_depth
             FROM pages GROUP BY 1 ORDER BY 1
+        """,
+        "events_type_transitions": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT prev AS prev_type, event_type, count(*) AS n
+            FROM e WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY 1,2
         """,
         # fixed $10 bins over integer cents (all values positive, so
         # DuckDB's truncating // == numpy's floor //)

@@ -200,6 +200,9 @@ def bench_ops() -> dict:
     from polipus_ray.ops.windows import value_histogram
 
     timed("events_value_histogram", lambda: value_histogram(SF_DIR))
+    from polipus_ray.ops.windows import type_transitions
+
+    timed("events_type_transitions", lambda: type_transitions(SF_DIR))
     timed("events_asof_join", lambda: asof_join(SF_DIR))
     timed("events_quantiles", lambda: quantiles_by_type(SF_DIR))
     timed("text_vocab", lambda: vocab_stats(SF_DIR))

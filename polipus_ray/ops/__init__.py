@@ -48,6 +48,7 @@ from .windows import (
     session_windows,
     top_users_per_type,
     tumbling_window,
+    type_transitions,
     user_pivot,
     value_histogram,
     weekly_retention,
@@ -96,4 +97,5 @@ __all__ = [
     "curation",
     "label_vector_sums",
     "value_histogram",
+    "type_transitions",
 ]

@@ -914,3 +914,61 @@ def value_histogram(sf_dir: str, bin_cents: int = 1000):
     ds = _events_read(sf_dir, ["event_type", "value"])
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return _bucket_tag(parts, "bin", join_partitions(None)).map_groups(fold, batch_format="pyarrow").sort(["event_type", "bin"])
+
+
+def type_transitions(sf_dir: str):
+    """Per-user event-sequence bigram counts — the transition matrix a
+    sequence-model dataset build starts from: for every consecutive
+    pair in each user's (ts, event_id)-ordered timeline, count
+    (prev_type, event_type).  ONE bounded user-bucket shuffle; each
+    bucket lexsorts (user, ts, id) once and folds its bigrams with a
+    composite bincount; the final fold is a direct groupby because the
+    key domain is |types|^2-bounded.  Output: prev_type, event_type,
+    n."""
+    import ray.data  # noqa: F401
+
+    from polipus_ray.ops.dedup import join_partitions
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy()
+        ts = _ts_us(group["ts"])
+        eid = group["event_id"].to_numpy()
+        enc = pc.dictionary_encode(group["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        order = np.lexsort((eid, ts, uid))
+        u_s, c_s = uid[order], codes[order]
+        same = u_s[1:] == u_s[:-1]
+        prev = c_s[:-1][same]
+        nxt = c_s[1:][same]
+        k = len(types)
+        cnt = np.bincount(prev * k + nxt, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "prev_type": pa.array([types[i] for i in nz // k], pa.string()),
+                "event_type": pa.array([types[i] for i in nz % k], pa.string()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        a = np.asarray(group["prev_type"].to_pylist(), dtype=object)
+        b = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        n = group["n"].to_numpy()
+        out_a, out_b, out_n = [], [], []
+        for pt in sorted(set(zip(a, b))):
+            sel = (a == pt[0]) & (b == pt[1])
+            out_a.append(pt[0]); out_b.append(pt[1]); out_n.append(int(n[sel].sum()))
+        return pa.table(
+            {
+                "prev_type": pa.array(out_a, pa.string()),
+                "event_type": pa.array(out_b, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    ds = _events_read(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    parts = _bucket_tag(ds, "user_id", join_partitions(None)).map_groups(per_bucket, batch_format="pyarrow")
+    # |types|^2-bounded key domain -> direct groupby is safe
+    return parts.groupby(["prev_type", "event_type"]).map_groups(fold, batch_format="pyarrow").sort(["prev_type", "event_type"])

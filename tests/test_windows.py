@@ -62,6 +62,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "crawl_host_stats",
         "emb_label_sums",
         "events_value_histogram",
+        "events_type_transitions",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
