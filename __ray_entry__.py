@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         value_histogram,
         weekly_retention,
     )
-    from polipus_ray.ops.relational import order_revenue_topn, pricing_summary, region_sales
+    from polipus_ray.ops.relational import order_revenue_topn, pricing_summary, region_sales, unshipped_orders
     from polipus_ray.pipelines import crawl_queries as cq
 
     return {
@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": pricing_summary,
         "tpch_order_revenue": lambda sf: order_revenue_topn(sf, n=20, segment="BUILDING", date="1998-06-30"),
         "tpch_region_sales": region_sales,
+        # distributed ANTI-join (null-marker left_outer, J2's shape)
+        "tpch_unshipped_orders": lambda sf: unshipped_orders(sf, date="1998-06-30"),
         # Gopher-style repetition signals (integer numerators), fixed
         # sliding-window token chunking, and integer-scaled TF-IDF
         # retrieval — map-only / partial-top-k plans
@@ -778,6 +780,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY 1,2 ORDER BY 1,2
+        """,
+        "tpch_unshipped_orders": """
+            SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   CAST(round(o.o_totalprice*100) AS BIGINT) AS o_totalprice_c
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_shipdate > TIMESTAMP '1998-06-30')
+            ORDER BY 1
         """,
         # Gopher-style word repetition numerators (space-split words ==
         # DuckDB string_split; top word ties -> smallest word)

@@ -170,6 +170,9 @@ def bench_ops() -> dict:
     timed("tpch_pricing_summary", lambda: pricing_summary(SF_DIR))
     timed("tpch_order_revenue", lambda: order_revenue_topn(SF_DIR, n=20))
     timed("tpch_region_sales", lambda: region_sales(SF_DIR))
+    from polipus_ray.ops.relational import unshipped_orders
+
+    timed("tpch_unshipped_orders", lambda: unshipped_orders(SF_DIR))
     from polipus_ray.ops.text import chunk_tokens, repetition_stats, tfidf_topk
 
     timed("text_repetition", lambda: repetition_stats(SF_DIR))

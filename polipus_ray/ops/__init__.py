@@ -25,7 +25,7 @@ from .dedup import (
 )
 from .curate import curation
 from .graph import pagerank
-from .relational import order_revenue_topn, pricing_summary, region_sales
+from .relational import order_revenue_topn, pricing_summary, region_sales, unshipped_orders
 from .sample import pack_greedy, sample_hash_pct, sample_stratified_topk
 from .images import decode_stage, phash_neardup_keep_first
 from .text import (
@@ -98,4 +98,5 @@ __all__ = [
     "label_vector_sums",
     "value_histogram",
     "type_transitions",
+    "unshipped_orders",
 ]

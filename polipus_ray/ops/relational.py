@@ -358,3 +358,73 @@ def region_sales(sf_dir: str):
 
     # bounded by the nation-dimension domain (25) — safe direct groupby
     return ds.map_batches(partial, batch_format="pyarrow").groupby("lab").map_groups(merge, batch_format="pyarrow").sort(["r_name", "n_name"])
+
+
+def unshipped_orders(sf_dir: str, date: str = "1998-06-30"):
+    """ANTI-join plan: orders with NO lineitem shipped after ``date``.
+
+    The build side (distinct post-``date`` orderkeys) is reduced
+    map-side to per-batch distinct keys, folded in bounded hash
+    buckets, then NATIVE left_outer-joined against orders with a
+    null-marker filter — the same anti-join shape the crawl's
+    storage-dedup uses (J2), exposed as a standalone relational query.
+    Output: o_orderkey, o_orderdate_us, o_totalprice_c.
+    """
+    import ray.data
+
+    from polipus_ray.ops.dedup import join_partitions
+    from polipus_ray.ops.windows import _bucket_tag
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_shipdate"],
+        filter_expr=(pc.field("l_shipdate") > pa.scalar(_us(date), pa.timestamp("us"))),
+    )
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        ok = batch["l_orderkey"].to_numpy()[ts > _us(date)]
+        return pa.table({"l_orderkey": pa.array(np.unique(ok), pa.int64()), "marker": pa.array(np.ones(len(np.unique(ok)), bool), pa.bool_())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        u = np.unique(group["l_orderkey"].to_numpy())
+        return pa.table({"l_orderkey": pa.array(u, pa.int64()), "marker": pa.array(np.ones(len(u), bool), pa.bool_())})
+
+    shipped = _bucket_tag(li.map_batches(distinct_keys, batch_format="pyarrow"), "l_orderkey", join_partitions(None)).map_groups(
+        fold, batch_format="pyarrow"
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate_us": pa.array(batch["o_orderdate"].cast(pa.int64()).to_numpy(), pa.int64()),
+                "o_totalprice_c": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
+            }
+        )
+
+    import pyarrow.parquet as pq2
+
+    n_orders = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    j = orders.map_batches(prep, batch_format="pyarrow").join(
+        shipped,
+        join_type="left_outer",
+        num_partitions=join_partitions(n_orders),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch["marker"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate_us": batch["o_orderdate_us"],
+                "o_totalprice_c": batch["o_totalprice_c"],
+            }
+        ).filter(pa.array(keep))
+
+    return j.map_batches(anti, batch_format="pyarrow").sort("o_orderkey")

@@ -63,6 +63,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "emb_label_sums",
         "events_value_histogram",
         "events_type_transitions",
+        "tpch_unshipped_orders",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
