@@ -772,3 +772,36 @@ def test_drop_rows_sliced_equals_filter():
             assert got.num_rows == want.num_rows, name
             # combine to normalize chunking before value compare
             assert got.combine_chunks().equals(want.combine_chunks()), name
+
+
+def test_seen_capacity_auto_provisioned_from_world(tmp_path):
+    """seen_capacity_per_shard=None sizes the cuckoo from the world
+    manifest (1.25x rows over the shards, min 1M); an explicit value is
+    respected.  Guards the r4s9 stash-scan regression (an
+    under-provisioned filter degrades into linear overflow scans)."""
+    import json
+    import os
+
+    from polipus_ray.config import CrawlConfig
+    from polipus_ray.frontier.engine import CrawlEngine
+
+    world = tmp_path / "bigworld"
+    world.mkdir()
+    (world / "spec.json").write_text(json.dumps({"hosts": 16}))
+    (world / "robots.json").write_text("{}")
+    (world / "seeds.json").write_text("[]")
+    (world / "world.json").write_text(json.dumps({"num_buckets": 256, "rows": 40_000_000}))
+
+    cfg = CrawlConfig(checkpoint=False, num_seen_shards=8)
+    eng = CrawlEngine(str(world), cfg, str(tmp_path / "run1"), use_ray=False)
+    # 1.25 * 40M / 8 shards = 6.25M per shard
+    assert all(s.capacity == 6_250_000 for s in eng.pool.shards)
+
+    cfg2 = CrawlConfig(checkpoint=False, num_seen_shards=8, seen_capacity_per_shard=123_456)
+    eng2 = CrawlEngine(str(world), cfg2, str(tmp_path / "run2"), use_ray=False)
+    assert all(s.capacity == 123_456 for s in eng2.pool.shards)
+
+    # small world -> the 1M reference-default floor
+    (world / "world.json").write_text(json.dumps({"num_buckets": 256, "rows": 500}))
+    eng3 = CrawlEngine(str(world), cfg, str(tmp_path / "run3"), use_ray=False)
+    assert all(s.capacity == 1_000_000 for s in eng3.pool.shards)
