@@ -902,7 +902,16 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=N
     guarantees any pair with J >= t shares an indexed gram), then
     exact Jaccard verification via the distributed signature join.
     Output == brute-force all-pairs Jaccard >= threshold, which is
-    what the DuckDB oracle computes."""
+    what the DuckDB oracle computes.
+
+    Cost profile (sf0.1, t=0.5): verify dominates — the plain AllPairs
+    prefix admits ~570k distinct candidates for ~256 real pairs
+    because low thresholds index ~half of each doc's grams and common
+    trigrams co-occur everywhere.  The known next step is the PPJoin
+    positional filter (thread (set_size, prefix_pos) through the pair
+    generator and require 1 + min(|X|-i, |Y|-j) >=
+    ceil(t/(1+t)*(|X|+|Y|)) per emitted pair) — a candidate-side
+    change only; the verify and oracle are unaffected."""
     import ray.data
 
     def gram_sets(batch: pa.Table) -> pa.Table:
