@@ -534,7 +534,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
                    event_type,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_hopping_window": """
