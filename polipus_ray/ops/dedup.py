@@ -637,7 +637,13 @@ def _jaccard_keep(A: np.ndarray, sigs_a: list, sigs_b: list, threshold: float) -
 
 
 def _jaccard_verify_join(
-    cand, sigs, threshold: float, num_partitions: int | None = None, rows: int | None = None, driver_id_limit: int = 20_000
+    cand,
+    sigs,
+    threshold: float,
+    num_partitions: int | None = None,
+    rows: int | None = None,
+    driver_id_limit: int = 20_000,
+    driver_pair_limit: int = 2_000_000,
 ):
     """Exact-Jaccard verify of candidate pairs, adaptive (the same
     dual-path pattern as phash keep-first's driver_pair_limit):
@@ -661,7 +667,12 @@ def _jaccard_verify_join(
     if driver_id_limit > 0:
         cand = cand.materialize()
         n_pairs = cand.count()
-        if n_pairs <= 8 * driver_id_limit:
+        # pair rows are 16 B each — the driver can absorb far more PAIRS
+        # than signature IDS (driver_pair_limit=2M is ~32 MB pulled; the
+        # id gate below still bounds the signature pull), and at this
+        # volume the distributed double join's aggregator spin-up
+        # dominates wall time
+        if n_pairs <= driver_pair_limit:
             pt = pa.concat_tables([pa.Table.from_pydict({"a": [], "b": []}, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]))] + [b for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow")])
             A = pt["a"].to_numpy()
             B = pt["b"].to_numpy()
@@ -919,23 +930,110 @@ def _gram_hashes_batch(texts: list[str], n: int) -> list[np.ndarray]:
     return out  # type: ignore[return-value]
 
 
+def _pp_pairs_from_bucket(group: pa.Table, threshold: float, cap: int = _PAIR_CHUNK) -> pa.Table:
+    """One hash bucket of exploded prefix occurrences (gram, doc_id,
+    sz, pos) -> positional-filtered candidate (a, b) pairs, vectorized
+    across ALL of the bucket's gram segments in one pass.
+
+    PPJoin positional filter (Xiao et al., WWW'08), occurrence-based:
+    a pair meeting at gram g, at 0-based prefix positions i in X and
+    j in Y, can overlap at most ``ub = 1 + min(|X|-i-1, |Y|-j-1)``
+    counting g itself; J >= t needs overlap >= t/(1+t)*(|X|+|Y|), so
+    drop the occurrence when ub falls short.  Safe per-occurrence
+    because the FIRST common gram of any true pair lies in both
+    prefixes (O >= t*|X| bounds its position) and passes the bound
+    exactly; later shared grams may fail it, which only removes
+    duplicate emissions of the same pair.  The length filter
+    min*(1+t) >= t*(sx+sy) is folded in for free.  1e-9 slack keeps
+    the float boundary conservative (verify downstream is exact).
+
+    Segments of <= cap members expand through ONE repeat/cumsum index
+    construction (no per-gram Python, no per-gram pa.table — the
+    groupby("gram") predecessor paid ~1.1 s of per-group overhead at
+    sf0.1); rare hot grams (> cap members) fall back to cap x cap
+    block-pair loops so peak memory stays O(cap^2) however degenerate
+    the gram."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    n = group.num_rows
+    if n < 2:
+        return empty
+    g = group["gram"].to_numpy()
+    d = group["doc_id"].to_numpy()
+    sz = group["sz"].to_numpy().astype(np.int64)
+    ps = group["pos"].to_numpy().astype(np.int64)
+    order = np.lexsort((d, g))
+    g, d, sz, ps = g[order], d[order], sz[order], ps[order]
+    rem = sz - ps  # |X| - i == 1 + elements after g in the set
+    q = threshold / (1.0 + threshold)
+    bnd = np.flatnonzero(g[1:] != g[:-1]) + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [n]])
+    sizes = ends - starts
+    A_out: list[np.ndarray] = []
+    B_out: list[np.ndarray] = []
+    small = sizes <= cap
+    if small.any():
+        keep_rows = np.repeat(small, sizes)
+        d_c, sz_c, rem_c = d[keep_rows], sz[keep_rows], rem[keep_rows]
+        s_sizes = sizes[small]
+        s_starts = np.cumsum(s_sizes) - s_sizes
+        elem_start = np.repeat(s_starts, s_sizes)
+        m = len(d_c)
+        w = np.arange(m) - elem_start  # within-segment position
+        p_total = int(w.sum())
+        if p_total:
+            # element e at within-position w pairs (as the right member,
+            # doc-sorted so a < b) with the w segment members before it
+            right = np.repeat(np.arange(m), w)
+            offs = np.cumsum(w) - w
+            left = np.arange(p_total) - np.repeat(offs, w) + np.repeat(elem_start, w)
+            ssum = sz_c[left] + sz_c[right]
+            ok = np.minimum(rem_c[left], rem_c[right]) >= q * ssum - 1e-9
+            ok &= np.minimum(sz_c[left], sz_c[right]) * (1.0 + threshold) >= threshold * ssum - 1e-9
+            if ok.any():
+                A_out.append(d_c[left[ok]])
+                B_out.append(d_c[right[ok]])
+    for s0, s1 in zip(starts[~small], ends[~small]):
+        logger.warning("hot gram: %d members expanded via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
+        for i in range(s0, s1, cap):
+            ei = min(i + cap, s1)
+            for j in range(i, s1, cap):
+                ej = min(j + cap, s1)
+                ssum = sz[i:ei, None] + sz[None, j:ej]
+                ok = np.minimum.outer(rem[i:ei], rem[j:ej]) >= q * ssum - 1e-9
+                ok &= np.minimum.outer(sz[i:ei], sz[j:ej]) * (1.0 + threshold) >= threshold * ssum - 1e-9
+                ii, jj = np.nonzero(ok)
+                if i == j:
+                    sel = jj > ii
+                    ii, jj = ii[sel], jj[sel]
+                if len(ii):
+                    A_out.append(d[ii + i])
+                    B_out.append(d[jj + j])
+    if not A_out:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(A_out), pa.int64()),
+            "b": pa.array(np.concatenate(B_out), pa.int64()),
+        }
+    )
+
+
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=None, driver_id_limit: int = 20_000):
     """Near-dup pairs via word n-gram Jaccard, exact.  Candidates come
     from a PREFIX-FILTERED inverted index (index each doc's smallest
     |X| - ceil(t*|X|) + 1 gram hashes; the AllPairs prefix filter
-    guarantees any pair with J >= t shares an indexed gram), then
-    exact Jaccard verification via the distributed signature join.
-    Output == brute-force all-pairs Jaccard >= threshold, which is
-    what the DuckDB oracle computes.
+    guarantees any pair with J >= t shares an indexed gram) with the
+    PPJoin POSITIONAL filter applied at pair generation (see
+    ``_expand_pp_pairs``), then exact Jaccard verification via the
+    distributed signature join.  Output == brute-force all-pairs
+    Jaccard >= threshold, which is what the DuckDB oracle computes.
 
-    Cost profile (sf0.1, t=0.5): verify dominates — the plain AllPairs
-    prefix admits ~570k distinct candidates for ~256 real pairs
-    because low thresholds index ~half of each doc's grams and common
-    trigrams co-occur everywhere.  The known next step is the PPJoin
-    positional filter (thread (set_size, prefix_pos) through the pair
-    generator and require 1 + min(|X|-i, |Y|-j) >=
-    ceil(t/(1+t)*(|X|+|Y|)) per emitted pair) — a candidate-side
-    change only; the verify and oracle are unaffected."""
+    Cost profile (sf0.1, t=0.5): the plain AllPairs prefix admitted
+    ~570k distinct candidates for ~256 real pairs; the positional +
+    length filters run O(1) per occurrence inside the bounded
+    block-pair expansion and cut the verify join's input ~10x+ —
+    candidate-side only, verify and oracle unchanged."""
     import ray.data
 
     def gram_sets(batch: pa.Table) -> pa.Table:
@@ -947,20 +1045,37 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=N
     def explode_prefix(batch: pa.Table) -> pa.Table:
         # prefix filter derived from the PACKED gram sets (already
         # sorted): each doc is gram-hashed once total, not once per
-        # downstream pipeline — mirrors the minhash sigs reuse
-        gh, doc = [], []
+        # downstream pipeline — mirrors the minhash sigs reuse.
+        # (set_size, prefix_pos) ride along for the positional filter.
+        gh, doc, sz, ps = [], [], [], []
         for did, packed in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
             g = _unpack_u64(packed)
             plen = len(g) - int(np.ceil(threshold * len(g))) + 1 if len(g) else 0
             if plen:
                 gh.append(g[:plen].view(np.int64))
                 doc.append(np.full(plen, did, np.int64))
-        cat = lambda arrs: np.concatenate(arrs) if arrs else np.empty(0, np.int64)
-        return pa.table({"gram": pa.array(cat(gh), pa.int64()), "doc_id": pa.array(cat(doc), pa.int64())})
+                sz.append(np.full(plen, len(g), np.int32))
+                ps.append(np.arange(plen, dtype=np.int32))
+        cat = lambda arrs, dt: np.concatenate(arrs) if arrs else np.empty(0, dt)
+        return pa.table(
+            {
+                "gram": pa.array(cat(gh, np.int64), pa.int64()),
+                "doc_id": pa.array(cat(doc, np.int64), pa.int64()),
+                "sz": pa.array(cat(sz, np.int32), pa.int32()),
+                "pos": pa.array(cat(ps, np.int32), pa.int32()),
+            }
+        )
 
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
     sigs = ds.map_batches(gram_sets, batch_format="pyarrow").materialize()
-    cand = _banded_pairs(sigs.map_batches(explode_prefix, batch_format="pyarrow"), ["gram"], dedup=False)
+    from polipus_ray.ops.windows import _bucket_tag
+
+    # bounded bucket shuffle (house pattern): gram cardinality is
+    # unbounded at corpus scale, so hash grams into join_partitions()
+    # buckets and expand each bucket's segments in one vectorized pass
+    cand = _bucket_tag(sigs.map_batches(explode_prefix, batch_format="pyarrow"), "gram", 4 * join_partitions(None)).map_groups(
+        lambda grp: _pp_pairs_from_bucket(grp, threshold), batch_format="pyarrow"
+    )
     n_docs = table.num_rows if table is not None else _parquet_rows(f"{sf_dir}/documents.parquet")
     return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs, driver_id_limit=driver_id_limit)
 

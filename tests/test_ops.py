@@ -121,12 +121,53 @@ def test_simhash_batch_matches_scalar_definition():
 
 
 def test_ngram_jaccard_pairs(ray_session):
-    from polipus_ray.ops.dedup import ngram_jaccard_pairs
+    from polipus_ray.ops.dedup import _gram_hashes, ngram_jaccard_pairs
 
     t = _docs_with_dups()
     got = [(r["a"], r["b"]) for r in ngram_jaccard_pairs(SF, n=3, threshold=0.5, table=t).take_all()]
     assert (0, 1000) in got
     assert all(a < b for a, b in got)
+    # exact parity vs brute-force all-pairs Jaccard: the AllPairs prefix
+    # + PPJoin positional/length occurrence filters must not drop a true
+    # pair at any threshold regime (q = t/(1+t) varies the bound)
+    for thr in (0.3, 0.5, 0.8):
+        got_t = sorted((r["a"], r["b"]) for r in ngram_jaccard_pairs(SF, n=3, threshold=thr, table=t).take_all())
+        want_t = _brute_jaccard_pairs(t, lambda s: _gram_hashes(s, 3), thr)
+        assert got_t == want_t, thr
+
+
+def test_pp_pairs_bucket_block_fallback_matches_vectorized():
+    """The hot-gram cap x cap block-pair fallback in
+    _pp_pairs_from_bucket must emit exactly the same filtered pairs as
+    the small-segment vectorized path."""
+    import random
+
+    from polipus_ray.ops.dedup import _pp_pairs_from_bucket
+
+    rng = random.Random(7)
+    gram, doc, sz, pos = [], [], [], []
+    for gidx in range(6):
+        members = rng.randint(2, 9)
+        for m in range(members):
+            gram.append(gidx)
+            doc.append(gidx * 100 + m)
+            size = rng.randint(4, 40)
+            sz.append(size)
+            pos.append(rng.randint(0, max(0, size // 2 - 1)))
+    grp = pa.table(
+        {
+            "gram": pa.array(gram, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "sz": pa.array(sz, pa.int32()),
+            "pos": pa.array(pos, pa.int32()),
+        }
+    )
+    for thr in (0.3, 0.5, 0.8):
+        big = _pp_pairs_from_bucket(grp, thr)  # all segments <= default cap
+        forced = _pp_pairs_from_bucket(grp, thr, cap=3)  # every segment through block pairs
+        as_set = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist()))
+        assert as_set(big) == as_set(forced), thr
+        assert all(a < b for a, b in as_set(big))
 
 
 def test_embedding_dup_pairs_vs_duckdb(ray_session):
