@@ -760,11 +760,17 @@ def weekly_retention(sf_dir: str, bucket_s: int = 7 * 86400):
         new[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
         u_s, w_s = u_s[new], w_s[new]
         # (u, w+1) present?  rank-compress users first so the packed
-        # key stays in int64 even when user ids are 64-bit hashes
-        # (raw id << 20 would overflow); weeks fit far under 2^20
+        # key stays in int64 even when user ids are 64-bit hashes (raw
+        # id * span would overflow); the week multiplier is the
+        # bucket's own week SPAN (+2 so w+1 fits), not a fixed 2^20 —
+        # a fine-grained bucket_s over a multi-year range produces
+        # bucket indices >= 2^20, which would collide across users
+        wmin = w_s.min() if len(w_s) else np.int64(0)
+        wv = w_s - wmin
+        span = (wv.max() if len(wv) else np.int64(0)) + np.int64(2)
         ur = np.searchsorted(np.unique(u_s), u_s)
-        k = ur * np.int64(1 << 20) + w_s
-        nxt = ur * np.int64(1 << 20) + (w_s + 1)
+        k = ur * span + wv
+        nxt = ur * span + (wv + 1)
         pos = np.searchsorted(k, nxt)
         safe = np.minimum(pos, len(k) - 1)
         retained = (k[safe] == nxt).astype(np.int64)

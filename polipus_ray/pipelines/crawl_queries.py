@@ -207,8 +207,10 @@ def crawl_host_stats(sf_dir: str) -> pa.Table:
     """Per-host rollup of the depth-2 BFS crawl output (the analytics
     read every crawl ops dashboard runs over the pages table): pages
     stored, 404 count, and min/max depth reached per host.  Reuses the
-    memoized bfs2 crawl; the rollup itself is a map-side partial +
-    tiny host-bounded fold over the round-partitioned parquet."""
+    memoized bfs2 crawl; the rollup reads only the three narrow
+    columns and folds them in ONE argsort + reduceat pass (per-host
+    partials over dictionary-encoded host codes) — no per-host rescan,
+    so cost is O(pages log pages) regardless of host cardinality."""
     import numpy as np
 
     cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, checkpoint=False)
@@ -216,20 +218,29 @@ def crawl_host_stats(sf_dir: str) -> pa.Table:
     from ..frontier.engine import read_pages_dir
 
     t = read_pages_dir(eng.pages_root, columns=["host", "code", "depth"])
-    hosts = np.asarray(t["host"].to_pylist(), dtype=object)
-    code = t["code"].to_numpy()
-    depth = t["depth"].to_numpy()
-    uh = np.unique(hosts)
-    rows = []
-    for h in uh:
-        sel = hosts == h
-        rows.append((h, int(sel.sum()), int((code[sel] == 404).sum()), int(depth[sel].min()), int(depth[sel].max())))
+    # one-pass fold: factorize hosts to integer codes, sort ONCE, then
+    # reduceat partials per host run (no per-host rescan of the array)
+    henc = t["host"].combine_chunks().dictionary_encode()
+    hcode = henc.indices.to_numpy()
+    order = np.argsort(hcode, kind="mergesort")
+    hc_s = hcode[order]
+    code = t["code"].to_numpy()[order]
+    depth = t["depth"].to_numpy()[order]
+    new = np.ones(len(hc_s), bool)
+    new[1:] = hc_s[1:] != hc_s[:-1]
+    starts = np.flatnonzero(new)
+    uh = np.asarray(henc.dictionary.to_pylist(), dtype=object)[hc_s[starts]]
+    n_pages = np.add.reduceat(np.ones(len(hc_s), np.int64), starts)
+    n_404 = np.add.reduceat((code == 404).astype(np.int64), starts)
+    min_d = np.minimum.reduceat(depth, starts)
+    max_d = np.maximum.reduceat(depth, starts)
+    horder = np.argsort(uh, kind="mergesort")  # sorted-host output order
     return pa.table(
         {
-            "host": pa.array([r[0] for r in rows], pa.string()),
-            "n_pages": pa.array([r[1] for r in rows], pa.int64()),
-            "n_404": pa.array([r[2] for r in rows], pa.int64()),
-            "min_depth": pa.array([r[3] for r in rows], pa.int64()),
-            "max_depth": pa.array([r[4] for r in rows], pa.int64()),
+            "host": pa.array(uh[horder], pa.string()),
+            "n_pages": pa.array(n_pages[horder], pa.int64()),
+            "n_404": pa.array(n_404[horder], pa.int64()),
+            "min_depth": pa.array(min_d[horder].astype(np.int64), pa.int64()),
+            "max_depth": pa.array(max_d[horder].astype(np.int64), pa.int64()),
         }
     )

@@ -308,6 +308,27 @@ def test_retention_edge_semantics(ray_session, tmp_path):
     assert int(out.loc[1, "n_active"]) == 1 and int(out.loc[1, "n_retained"]) == 0
 
 
+def test_retention_fine_buckets_beyond_2pow20(ray_session, tmp_path):
+    """Second-granularity buckets over a multi-year span produce bucket
+    indices >= 2^20; the packed (user, bucket) key must not collide
+    across users (regression: fixed 2^20 multiplier)."""
+    from polipus_ray.ops.windows import weekly_retention
+
+    S = 1_000_000  # 1 s in us
+    big = (1 << 21) * S  # bucket index 2^21 at bucket_s=1
+    rows = [
+        (1, 0 * S, 1, "view", 0),
+        (2, 1 * S, 1, "view", 0),  # user 1 retained bucket 0 -> 1
+        (3, big, 2, "view", 0),  # user 2 far bucket, NOT retained
+        (4, big + 2 * S, 3, "view", 0),  # user 3, not adjacent to user 2
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = weekly_retention(sf, bucket_s=1).to_pandas().set_index("week")
+    assert int(out.loc[0, "n_retained"]) == 1
+    assert int(out.loc[1 << 21, "n_active"]) == 1 and int(out.loc[1 << 21, "n_retained"]) == 0
+    assert int(out.loc[(1 << 21) + 2, "n_retained"]) == 0
+
+
 def test_pack_greedy_boundaries(ray_session, tmp_path):
     """An exactly-full bin closes without spilling; an oversize doc
     occupies its own bin; group boundaries reset the fill."""
