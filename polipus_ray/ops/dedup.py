@@ -737,14 +737,43 @@ def _jaccard_verify_join(
     return verify_sorted(j.map_batches(verify, batch_format="pyarrow"))
 
 
+# verified-pair Datasets memoized per (ray session, sf_dir, params):
+# dedup_clusters consumes the same pairs dedup_minhash_lsh produces, so
+# one sweep should pay the band+verify pipeline once (mirrors the crawl
+# memoizer, pipelines/crawl_queries.py).  Values are MATERIALIZED
+# datasets — blocks live in the object store, not on the driver.
+_MINHASH_PAIRS_CACHE: dict[tuple, object] = {}
+
+
+def _ray_session_key() -> str:
+    try:
+        import ray
+
+        return ray.get_runtime_context().get_job_id() if ray.is_initialized() else "uninit"
+    except Exception:  # pragma: no cover — introspection must never fail a pipeline
+        return "unknown"
+
+
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, bands: int = 16, ngram: int = 5, table=None, driver_id_limit: int = 20_000):
     """Near-dup pairs by MinHash-LSH, verified with exact Jaccard on
     char n-gram shingles.  Oracle-SQL-checked: band keys are the
     md5-u64 of the '_'-joined signature values and every hash is
     md5-derived, so the DuckDB oracle reproduces candidates AND
     verification exactly.  Verification is a distributed signature
-    join — nothing is pulled to the driver or broadcast whole."""
+    join — nothing is pulled to the driver or broadcast whole.
+    Parquet-backed calls memoize their verified pairs per Ray session
+    (``_MINHASH_PAIRS_CACHE``) so downstream consumers (e.g.
+    ``dedup_clusters``) reuse them instead of recomputing."""
     import ray.data
+
+    cache_key = None
+    if table is None:
+        import os as _os
+
+        cache_key = (_ray_session_key(), _os.path.abspath(sf_dir), threshold, num_perm, bands, ngram, driver_id_limit)
+        cached = _MINHASH_PAIRS_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
 
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
@@ -785,7 +814,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, 
     sigs = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
     cand = _banded_pairs(sigs.map_batches(band_stage, batch_format="pyarrow"), ["band_id", "band_key"], dedup=False)
     n_docs = table.num_rows if table is not None else _parquet_rows(f"{sf_dir}/documents.parquet")
-    return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs, driver_id_limit=driver_id_limit)
+    out = _jaccard_verify_join(cand, sigs, threshold, rows=n_docs, driver_id_limit=driver_id_limit)
+    if cache_key is not None:
+        out = out.materialize()
+        _MINHASH_PAIRS_CACHE[cache_key] = out
+    return out
 
 
 def verify_sorted(ds):

@@ -17,49 +17,52 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..synth.images import decode_image, phash64
+from ..synth.images import decode_image_groups, gray_batch, phash64_from_gray
 from .dedup import banded_hamming_pairs, join_partitions
 
 
 class DecodeVerify:
     """Actor-pool decode + integrity stage: decodes each payload,
     recomputes the perceptual hash and luminance stats.
-    Output: id columns + ok / phash_ok / mean_lum / decoded_px."""
+    Output: id columns + ok / phash_ok / mean_lum / decoded_px.
+
+    Vectorized like the fetcher's ``_verify_payloads``
+    (fetch/fetcher.py): one fancy-index gather per shape group out of
+    the Arrow binary buffer, luma as one GEMV, hashes as batched GEMMs
+    (``phash64_from_gray`` is bit-identical to the scalar ``phash64``
+    — pinned by test_synth) — no per-row ``to_pylist`` of payload
+    bytes, no per-row decode."""
 
     def __init__(self, id_col: str = "doc_id"):
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, ok, phok, lum, npx = [], [], [], [], []
-        stored_ph = batch["phash"].to_pylist() if "phash" in batch.column_names else [None] * batch.num_rows
-        id_vals = batch[self.id_col].to_pylist()  # decoded once, not per-row chained indexing
-        for i, data in enumerate(batch["bytes"].to_pylist()):
-            ids.append(id_vals[i])
-            if data is None:
-                ok.append(False)
-                phok.append(False)
-                lum.append(None)
-                npx.append(0)
-                continue
-            try:
-                px, w, h, fmt = decode_image(data)
-            except (ValueError, NotImplementedError):
-                ok.append(False)
-                phok.append(False)
-                lum.append(None)
-                npx.append(0)
-                continue
-            ok.append(True)
-            ph = phash64(px)
-            phok.append(stored_ph[i] is None or ph == (stored_ph[i] & 0xFFFFFFFFFFFFFFFF if stored_ph[i] >= 0 else stored_ph[i] + (1 << 64)))
-            lum.append(float(px.mean()))
-            npx.append(int(px.size // 3))
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        ok, _fmts, groups = decode_image_groups(batch["bytes"])
+        lum = np.zeros(n, np.float64)
+        npx = np.zeros(n, np.int64)
+        got_ph = np.zeros(n, np.uint64)
+        for sel, px4 in groups:
+            gray = gray_batch(px4)
+            got_ph[sel] = phash64_from_gray(gray)
+            lum[sel] = px4.reshape(len(sel), -1).mean(axis=1)
+            npx[sel] = px4.shape[1] * px4.shape[2]
+        if "phash" in batch.column_names:
+            want_none = pc.is_null(batch["phash"]).combine_chunks().to_numpy(zero_copy_only=False)
+            want_u64 = (
+                pc.fill_null(batch["phash"], 0).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            )
+            phok = ok & (want_none | (got_ph == want_u64))
+        else:
+            phok = ok.copy()
         return pa.table(
             {
-                self.id_col: pa.array(ids),
+                self.id_col: batch[self.id_col],
                 "ok": pa.array(ok, pa.bool_()),
                 "phash_ok": pa.array(phok, pa.bool_()),
-                "mean_lum": pa.array(lum, pa.float64()),
+                "mean_lum": pa.array(lum, pa.float64(), mask=~ok),
                 "n_px": pa.array(npx, pa.int64()),
             }
         )

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..synth.images import decode_image, encode_image
+from ..synth.images import _HDR, _LOSSY, _MAGIC, _QSTEP, encode_image, image_header_groups
 
 # ---------------------------------------------------------------------------
 # image resize (REAL: numpy nearest-neighbor on the in-repo codec)
@@ -30,7 +30,17 @@ from ..synth.images import decode_image, encode_image
 
 class ImageResize:
     """Decode -> nearest-neighbor resize to (out_w, out_h) -> re-encode
-    (same fmt).  Output replaces bytes/w/h columns."""
+    (same fmt).  Output replaces bytes/w/h columns.
+
+    Vectorized end to end (the fetcher's ``_verify_payloads`` pattern):
+    the subsample indices COMPOSE into the shape-group gather, so only
+    the out_h x out_w x 3 bytes each output row keeps are ever copied
+    out of the Arrow binary buffer (a full-image gather would move the
+    whole payload to keep ~1% of it); the re-encode is ONE flat uint8
+    buffer scatter wrapped zero-copy into the output BinaryArray — no
+    per-row decode/encode, no per-row ``to_pylist`` of payload bytes.
+    Null input rows stay null; an undecodable non-null payload raises
+    (same contract as the per-row ``decode_image``)."""
 
     def __init__(self, out_w: int = 16, out_h: int = 16, id_col: str = "doc_id"):
         self.out_w = out_w
@@ -38,31 +48,59 @@ class ImageResize:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, blobs, ws, hs, fmts = [], [], [], [], []
-        id_vals = batch[self.id_col].to_pylist()  # decoded once per batch
-        for i, data in enumerate(batch["bytes"].to_pylist()):
-            ids.append(id_vals[i])
-            if data is None:
-                blobs.append(None)
-                ws.append(None)
-                hs.append(None)
-                fmts.append(None)
-                continue
-            px, w, h, fmt = decode_image(data)
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        col = batch["bytes"]
+        ok, fmts, shape_groups, data, starts = image_header_groups(col)
+        valid = (
+            pc.is_valid(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).to_numpy(zero_copy_only=False)
+            if n
+            else np.zeros(0, bool)
+        )
+        if (valid & ~ok).any():
+            raise ValueError("not a PRAY image")
+        m2 = self.out_h * self.out_w * 3
+        row_size = _HDR + m2
+        out_offs = np.zeros(n + 1, np.int32)
+        np.cumsum(np.where(ok, row_size, 0), out=out_offs[1:])
+        buf = np.zeros(int(out_offs[-1]), np.uint8)
+        # fmt tags re-encoded from the U4 array in one S4 view (no
+        # per-row .encode()): 'raw ' etc. are space-padded ascii
+        fmt_pad = np.char.ljust(fmts.astype("U4"), 4)
+        fmt_all = np.ascontiguousarray(fmt_pad.astype("S4")).view(np.uint8).reshape(n, 4)
+        lossy_mask = np.isin(fmts, list(_LOSSY))
+        for sel, h, w in shape_groups:
             yi = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
             xi = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
-            small = px[np.ix_(yi, xi)]
-            blobs.append(encode_image(np.ascontiguousarray(small), fmt))
-            ws.append(self.out_w)
-            hs.append(self.out_h)
-            fmts.append(fmt)
+            # composed subsample gather: only the kept pixels move
+            body = _HDR + ((yi[:, None] * w + xi[None, :])[:, :, None] * 3 + np.arange(3)).ravel()
+            payload = data[starts[sel, None] + body]  # (N, m2)
+            rows = np.empty((len(sel), row_size), np.uint8)
+            rows[:, :4] = np.frombuffer(_MAGIC, np.uint8)
+            rows[:, 4:8] = fmt_all[sel]
+            rows[:, 8] = self.out_w & 0xFF
+            rows[:, 9] = self.out_w >> 8
+            rows[:, 10] = self.out_h & 0xFF
+            rows[:, 11] = self.out_h >> 8
+            lossy = lossy_mask[sel]
+            if lossy.any():  # same floor-quantization as encode_image
+                payload = payload.copy()
+                payload[lossy] = (payload[lossy] // _QSTEP) * _QSTEP
+            rows[:, _HDR:] = payload
+            buf[out_offs[sel][:, None] + np.arange(row_size)] = rows
+        validity = pa.py_buffer(np.packbits(ok, bitorder="little").tobytes()) if not ok.all() else None
+        blobs = pa.Array.from_buffers(
+            pa.binary(), n, [validity, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(buf.tobytes())],
+            null_count=int((~ok).sum()),
+        )
         return pa.table(
             {
-                self.id_col: pa.array(ids),
-                "bytes": pa.array(blobs, pa.binary()),
-                "w": pa.array(ws, pa.int32()),
-                "h": pa.array(hs, pa.int32()),
-                "fmt": pa.array(fmts, pa.string()),
+                self.id_col: batch[self.id_col],
+                "bytes": blobs,
+                "w": pa.array(np.full(n, self.out_w, np.int32), pa.int32(), mask=~ok),
+                "h": pa.array(np.full(n, self.out_h, np.int32), pa.int32(), mask=~ok),
+                "fmt": pa.array([f if o else None for f, o in zip(fmts, ok)], pa.string()),
             }
         )
 

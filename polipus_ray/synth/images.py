@@ -176,5 +176,79 @@ def phash_batch(datas: list[bytes]) -> np.ndarray:
     return np.array([phash64(decode_image(d)[0]) for d in datas], dtype=np.uint64)
 
 
+def binary_col_view(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (data, starts, lens, valid) view of an Arrow binary
+    column — the shared entry point for vectorized payload kernels
+    (no per-row ``to_pylist`` of payload bytes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    off0 = col.offset
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=odt)[off0 : off0 + n + 1].astype(np.int64)
+    dbuf = col.buffers()[2]
+    data = np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None else np.empty(0, np.uint8)
+    starts = offs[:-1]
+    lens = offs[1:] - starts
+    valid = np.ones(n, bool) if col.null_count == 0 else pc.is_valid(col).to_numpy(zero_copy_only=False)
+    return data, starts, lens, valid
+
+
+def image_header_groups(col) -> tuple[np.ndarray, np.ndarray, list[tuple[np.ndarray, int, int]], np.ndarray, np.ndarray]:
+    """Header-only batch scan of a PRAY binary column: validates magic
+    / dims / payload length and groups rows by (h, w) WITHOUT touching
+    pixel bytes, so callers can compose their own (possibly
+    subsampling) gathers.  Returns ``(ok, fmts, shape_groups, data,
+    starts)`` where ``shape_groups`` is ``[(row_indices, h, w), ...]``
+    and ``data``/``starts`` are the zero-copy buffer views a gather
+    indexes into."""
+    data, starts, lens, valid = binary_col_view(col)
+    n = len(starts)
+    ok = np.zeros(n, bool)
+    fmts = np.full(n, "", dtype="U4")
+    groups: list[tuple[np.ndarray, int, int]] = []
+    cand = np.nonzero(valid & (lens >= _HDR))[0]
+    if cand.size == 0:
+        return ok, fmts, groups, data, starts
+    hdr = data[starts[cand, None] + np.arange(_HDR)]
+    magic = np.frombuffer(_MAGIC, dtype=np.uint8)
+    hw = hdr[:, 8].astype(np.int64) | (hdr[:, 9].astype(np.int64) << 8)
+    hh = hdr[:, 10].astype(np.int64) | (hdr[:, 11].astype(np.int64) << 8)
+    good = (hdr[:, :4] == magic).all(axis=1) & (lens[cand] >= _HDR + hh * hw * 3) & (hh > 0) & (hw > 0)
+    fmt_b = np.ascontiguousarray(hdr[good, 4:8]).view("S4").ravel()
+    cand, hw, hh = cand[good], hw[good], hh[good]
+    if cand.size == 0:
+        return ok, fmts, groups, data, starts
+    ok[cand] = True
+    fmts[cand] = np.char.strip(fmt_b.astype("U4"))
+    key = (hh << 16) | hw
+    for k in np.unique(key):
+        sel = cand[key == k]
+        groups.append((sel, int(k >> 16), int(k & 0xFFFF)))
+    return ok, fmts, groups, data, starts
+
+
+def decode_image_groups(col) -> tuple[np.ndarray, np.ndarray, list[tuple[np.ndarray, np.ndarray]]]:
+    """Batch decode of a PRAY binary column: ONE fancy-index gather per
+    (h, w) shape group straight out of the Arrow data buffer (the same
+    layout trick as the fetcher's ``_verify_payloads``) — no per-row
+    ``decode_image`` call, no np.stack of N tiny arrays.
+
+    Returns ``(ok, fmts, groups)``: ``ok[i]`` iff row i decoded
+    (valid magic, positive dims, payload long enough), ``fmts[i]`` the
+    stripped 4-char format tag ('' where not ok), and ``groups`` a
+    list of ``(row_indices, (N, h, w, 3) uint8 stack)`` per shape."""
+    ok, fmts, shape_groups, data, starts = image_header_groups(col)
+    groups: list[tuple[np.ndarray, np.ndarray]] = []
+    for sel, h, w in shape_groups:
+        body = np.arange(h * w * 3) + _HDR
+        px4 = data[starts[sel, None] + body].reshape(-1, h, w, 3)
+        groups.append((sel, px4))
+    return ok, fmts, groups
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
