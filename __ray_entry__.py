@@ -96,7 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots_filter": cq.crawl_robots_filter,
         "crawl_pattern_filter": cq.crawl_pattern_filter,
         "crawl_uuids": cq.crawl_uuids,
-        # crawl image stages (rows-only)
+        # crawl image stages (phash_neardup: SQL replay over the world
+        # parquet; decode_verify: generator-backed fixture oracle)
         "crawl_phash_neardup": cq.crawl_phash_neardup,
         "crawl_decode_verify": cq.crawl_decode_verify,
         # crawl-output analytics: per-host rollup of the bfs2 crawl
@@ -393,6 +394,28 @@ JOIN embeddings eb ON eb.vec_id = c.b
 WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
 ORDER BY 1, 2
 """
+
+
+def _decode_verify_oracle_sql(sf_dir: str) -> str:
+    """crawl_decode_verify oracle: the generator-backed expected table
+    (scalar reference codec path — synth/world.decode_expected_table)
+    read back via read_parquet.  The codec itself is not
+    SQL-expressible, but its output is deterministic, so the world
+    generator emits the expected rows at fixture time and DuckDB
+    compares them like any other query.  The world_key guard (md5 of
+    the documents view's sorted doc_id list, recomputed IN SQL) pins
+    the fixture to the same document set the Ray query derived its
+    world from."""
+    from polipus_ray.pipelines.crawl_queries import ensure_decode_fixture
+
+    path = ensure_decode_fixture(sf_dir)
+    return f"""
+        SELECT doc_id, ok, phash_ok, lum_centi, n_px
+        FROM read_parquet('{path}')
+        WHERE world_key = (
+            SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) FROM documents
+        )
+    """
 
 
 def _phash_neardup_oracle_sql(sf_dir: str, max_hamming: int = 4) -> str:
@@ -990,6 +1013,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ("dedup_embedding_lsh", _embedding_lsh_oracle_sql),
         ("dedup_semantic", _semantic_oracle_sql),
         ("crawl_phash_neardup", _phash_neardup_oracle_sql),
+        ("crawl_decode_verify", _decode_verify_oracle_sql),
     ):
         try:
             out[name] = builder(sf_dir)

@@ -191,16 +191,66 @@ def crawl_phash_neardup(sf_dir: str):
     return phash_neardup_keep_first(ds, id_col="doc_id")
 
 
+_FIXTURES = "/tmp/polipus_ray_fixtures/decode_verify"
+
+
+def ensure_decode_fixture(sf_dir: str) -> str:
+    """Materialize the generator-backed expected table for
+    ``crawl_decode_verify`` (scalar reference codec path — see
+    synth/world.decode_expected_table) into the stable fixture dir the
+    oracle SQL globs.  Files are keyed by the world_key (md5 of the
+    sorted doc_id list), so several worlds coexist and regeneration is
+    a no-op once the file exists."""
+    import pyarrow.parquet as _pq
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    ids = _pq.read_table(docs, columns=["doc_id"])["doc_id"].to_numpy()
+    import numpy as np
+
+    wkey = hashlib.md5(",".join(str(int(x)) for x in np.sort(ids.astype(np.int64))).encode()).hexdigest()
+    os.makedirs(_FIXTURES, exist_ok=True)
+    path = os.path.join(_FIXTURES, f"expected_{wkey[:12]}.parquet")
+    if not os.path.exists(path):
+        from ..synth.world import decode_expected_table
+
+        tmp = path + ".tmp"
+        _pq.write_table(decode_expected_table(docs, SQL_SPEC), tmp)
+        os.replace(tmp, path)  # atomic: concurrent callers race safely
+    return path
+
+
 def crawl_decode_verify(sf_dir: str):
     """Image decode + integrity actor-pool stage over the world's
-    payloads (rows-only)."""
+    payloads.  Output (doc_id, ok, phash_ok, lum_centi, n_px) is
+    integer/bool-exact and checked against the generator-backed
+    fixture (``ensure_decode_fixture``) — the expected table the world
+    generator computes through the SCALAR codec path, which the oracle
+    SQL reads back via read_parquet keyed on the documents view's
+    doc_id digest."""
+    import numpy as np
     import ray.data
 
     from ..ops.images import decode_stage
 
+    ensure_decode_fixture(sf_dir)
     world_dir = sql_world_for(sf_dir)
     ds = ray.data.read_parquet(os.path.join(world_dir, "web"), columns=["doc_id", "bytes", "phash"])
-    return decode_stage(ds, id_col="doc_id")
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lum = pc.fill_null(batch["mean_lum"], 0.0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ok": batch["ok"],
+                "phash_ok": batch["phash_ok"],
+                "lum_centi": pa.array(np.round(lum * 100).astype(np.int64), pa.int64()),
+                "n_px": batch["n_px"],
+            }
+        )
+
+    return decode_stage(ds, id_col="doc_id").map_batches(quantize, batch_format="pyarrow")
 
 
 def crawl_host_stats(sf_dir: str) -> pa.Table:

@@ -282,6 +282,46 @@ def make_web_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec(), wit
     return pa.table(cols)
 
 
+def decode_expected_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec()) -> pa.Table:
+    """Expected ``DecodeVerify`` output for the world derived from
+    ``documents``, computed by the SCALAR reference codec path
+    (``decode_image`` / ``phash64`` / ``ndarray.mean``) independently
+    of the batched kernels — the generator-backed oracle fixture for
+    ``crawl_decode_verify``.  ``world_key`` is the md5 of the sorted
+    comma-joined doc_id list, reproducible in DuckDB as
+    ``md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))``,
+    so one fixture directory can hold expected tables for several
+    worlds and the oracle SQL selects its own."""
+    import hashlib
+
+    if isinstance(documents, str):
+        documents = pq.read_table(documents, columns=["doc_id"])
+    doc_id = np.sort(documents["doc_id"].to_numpy().astype(np.int64))
+    n = len(doc_id)
+    wkey = hashlib.md5(",".join(str(int(x)) for x in doc_id).encode()).hexdigest()
+    lum_centi = np.zeros(n, np.int64)
+    npx = np.zeros(n, np.int64)
+    phok = np.zeros(n, bool)
+    for j in range(n):
+        ii = int(doc_id[j])
+        px = _pixels_for(spec, ii)
+        fmt = "jpeg" if ii % 4 == 0 else "png"  # same rule as make_web_table
+        dec, w, h, _ = decode_image(encode_image(px, fmt))
+        phok[j] = phash64(dec) == phash64(dec)  # stored phash is phash64(dec) by construction
+        lum_centi[j] = int(np.round(dec.mean() * 100))
+        npx[j] = h * w
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "ok": pa.array(np.ones(n, bool), pa.bool_()),
+            "phash_ok": pa.array(phok, pa.bool_()),
+            "lum_centi": pa.array(lum_centi, pa.int64()),
+            "n_px": pa.array(npx, pa.int64()),
+            "world_key": pa.array([wkey] * n, pa.string()),
+        }
+    )
+
+
 def write_world(out_dir: str, documents_path: str, spec: WorldSpec = WorldSpec(), num_buckets: int = 16) -> dict:
     """Write web table (bucketed parquet; lance too when available),
     robots.json, seeds.json, spec.json, world.json.  Returns manifest."""

@@ -284,13 +284,22 @@ def test_decode_stage_and_phash_neardup(ray_session, tmp_path):
     import ray.data
 
     from polipus_ray.ops.images import decode_stage, phash_neardup_keep_first
-    from polipus_ray.synth.world import WorldSpec, make_web_table
+    from polipus_ray.synth.world import WorldSpec, decode_expected_table, make_web_table
 
     spec = WorldSpec()
     web = make_web_table(f"{SF}/documents.parquet", spec)
     ds = ray.data.from_arrow(web.select(["doc_id", "bytes", "phash"]))
     dec = decode_stage(ds, id_col="doc_id").to_pandas()
     assert dec["ok"].all() and dec["phash_ok"].all()
+    # the batched DecodeVerify kernels must reproduce the generator's
+    # SCALAR reference path row-for-row (the decode_verify fixture
+    # oracle: lum quantized to integer centi-units, n_px exact)
+    exp = decode_expected_table(f"{SF}/documents.parquet", spec).to_pandas()
+    got = dec.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (np.round(got["mean_lum"].to_numpy() * 100).astype(np.int64) == exp["lum_centi"].to_numpy()).all()
+    assert (got["n_px"].to_numpy() == exp["n_px"].to_numpy()).all()
+    assert exp["ok"].all() and exp["phash_ok"].all()
     marked = phash_neardup_keep_first(ray.data.from_arrow(web.select(["doc_id", "phash"])), id_col="doc_id").to_pandas()
     dropped = set(marked[~marked.keep]["doc_id"])
     # every generated near-dup row (i % 29 == 1) must be suppressed in
