@@ -121,6 +121,14 @@ class CrawlConfig:
     #   depth order unchanged, intra-round total order approximate.
     # See BASELINE.md for the measured scaling of both modes.
     deterministic_order: bool = True
+    # force the det-mode DRIVER-merge admission (28 B/candidate key
+    # tables shipped to the driver) instead of the distributed path
+    # (keys pre-split to plasma, shard-side probes, driver ranks only
+    # admitted rows).  Both are byte-identical (pinned by
+    # test_det_admission_distributed_equals_driver_merge); this is the
+    # A/B switch and ops fallback.  POLIPUS_DET_DRIVER_ADMIT=1 in the
+    # WORKER environment forces it too.
+    det_driver_admit: bool = False
     # 'pool': persistent fetch-actor pool, fixed bucket->actor affinity,
     #   politeness clocks + web-bucket cache persist across rounds, link
     #   extraction fused in-actor (one barrier per round).

@@ -1007,9 +1007,52 @@ class Fetcher:
             cand = cand.take(pa.array(order))
             self._pending_cand = cand
             self._pending_spill_path = spill_path
-            cand_keys = cand.select(["url_hash", "host_hash", "parent_seq", "link_idx"])
-            if comp is not None:
-                cand_keys = cand_keys.append_column("comp", pa.array(comp, pa.int64()))
+            if (
+                comp is not None
+                and self.cfg.ttl_page is None
+                and self.pool is not None
+                and getattr(self.pool, "use_ray", False)
+                and not getattr(self.cfg, "det_driver_admit", False)  # A/B + ops fallback
+                and not os.environ.get("POLIPUS_DET_DRIVER_ADMIT")
+            ):
+                # distributed admission (r5): the narrow keys go to
+                # PLASMA pre-split by seen shard, never through the
+                # driver — each shard fetches its slice, probes it in
+                # comp order, and returns only the admitted (comp,
+                # oloc) triples.  ``oloc`` is the row's position in the
+                # comp-sorted pending table (what emit_frontier takes).
+                import ray
+
+                hh_k = cand["host_hash"].to_numpy()
+                hh_u = hh_k.view(np.uint64) if hh_k.dtype == np.int64 else hh_k.astype(np.uint64)
+                uh_k = cand["url_hash"].to_numpy()
+                uh_u = uh_k.view(np.uint64) if uh_k.dtype == np.int64 else uh_k.astype(np.uint64)
+                S = self.pool.num_shards
+                sid = (hh_u % np.uint64(S)).astype(np.int64)
+                sorder = np.argsort(sid, kind="stable")  # keeps comp order within shard
+                bounds = np.searchsorted(sid[sorder], np.arange(S + 1))
+                cand_key_refs = {}
+                for sh in range(S):
+                    lo, hi = bounds[sh], bounds[sh + 1]
+                    if lo == hi:
+                        continue
+                    idx = sorder[lo:hi]
+                    cand_key_refs[sh] = ray.put(
+                        {
+                            "comp": np.ascontiguousarray(comp[idx]),
+                            "uh": np.ascontiguousarray(uh_u[idx]),
+                            "hh": np.ascontiguousarray(hh_u[idx]),
+                            "oloc": np.ascontiguousarray(idx.astype(np.int64)),
+                        }
+                    )
+                cand_keys = {"refs": cand_key_refs, "n": cand.num_rows}
+            else:
+                # driver-merge fallback (TTL recrawl semantics need
+                # expired-occurrence handling; comp overflow needs the
+                # driver's lexsort): ship the 28 B/row key table
+                cand_keys = cand.select(["url_hash", "host_hash", "parent_seq", "link_idx"])
+                if comp is not None:
+                    cand_keys = cand_keys.append_column("comp", pa.array(comp, pa.int64()))
             cand = None
             tm["keys"] = time.perf_counter() - s
         elif spill_path is not None and not self.cfg.deterministic_order and self.pool is not None and cand is not None and cand.num_rows:

@@ -894,12 +894,111 @@ class CrawlEngine:
         exact; only which slice a row lands in can shift).  With the
         wave inside the active limit the order is strictly FIFO."""
         cks, tags = [], []
+        ref_units = []  # (tag, {shard: plasma ref}, n_cand) — distributed-admission actors
         for i, res in enumerate(results):
             ck = res.get("cand_keys")
-            if ck is not None and ck.num_rows:
+            if ck is None:
+                continue
+            if isinstance(ck, dict):
+                if ck["n"]:
+                    ref_units.append((ref_actors[i], ck["refs"], ck["n"]))
+            elif ck.num_rows:
                 cks.append(ck)
                 tags.append(ref_actors[i])
+        if ref_units and not cks:
+            return self._admit_distributed(ref_units, actors, now)
+        if ref_units:  # mixed (comp overflow on some actors): pull the
+            # plasma splits back and run the driver merge for all
+            import ray
+
+            for tag, refs, _n in ref_units:
+                parts = ray.get(list(refs.values()))
+                comp = np.concatenate([p["comp"] for p in parts])
+                uh = np.concatenate([p["uh"] for p in parts])
+                hh = np.concatenate([p["hh"] for p in parts])
+                oloc = np.concatenate([p["oloc"] for p in parts])
+                o = np.argsort(oloc, kind="stable")  # restore unit-local row order
+                cks.append(
+                    pa.table(
+                        {
+                            "url_hash": pa.array(uh[o].view(np.int64), pa.int64()),
+                            "host_hash": pa.array(hh[o].view(np.int64), pa.int64()),
+                            "comp": pa.array(comp[o], pa.int64()),
+                            # recoverable exactly: comp == ps << 16 | li
+                            "parent_seq": pa.array(comp[o] >> 16, pa.int64()),
+                            "link_idx": pa.array(comp[o] & 0xFFFF, pa.int64()),
+                        }
+                    )
+                )
+                tags.append(tag)
         return self._admit_keys_core(cks, tags, lambda a, loc, seqs: actors[a].emit_frontier.remote(loc, seqs), now)
+
+    def _admit_distributed(self, ref_units: list[tuple], actors: list, now: int) -> int:
+        """Deterministic admission with the keys OFF the driver (r5,
+        VERDICT r4 #4): actors pre-split their comp-sorted key tables
+        by seen shard into plasma; each shard merges its slice, runs
+        the sequential first-occurrence probe, and returns only the
+        admitted (comp, tag, oloc) triples; the driver's remaining
+        serial work is one argsort over ADMITTED comps to assign
+        global seqs (comp is globally unique — parent_seq << 16 |
+        link_idx — so the merged order is total) and the emit fanout.
+        Driver bytes: ~20 B per ADMITTED row instead of 28 B per
+        CANDIDATE plus the probe scatter (~5x less at the bench's
+        2.8:1 candidate:admit ratio).  Byte-identical to the driver
+        merge: same per-shard probe subsequences, same seq order."""
+        import time as _time
+
+        aph: dict[str, float] = {}
+        self._admit_phases = aph
+        aph["n_cand"] = float(sum(n for _, _, n in ref_units))
+        S = self.pool.num_shards
+        per_shard_refs: list[list] = [[] for _ in range(S)]
+        per_shard_tags: list[list] = [[] for _ in range(S)]
+        for tag, refs, _n in ref_units:
+            for sh, ref in refs.items():
+                per_shard_refs[sh].append(ref)
+                per_shard_tags[sh].append(tag)
+        s = _time.perf_counter()
+        shard_res = self.pool.admit_sorted(per_shard_refs, per_shard_tags, self.num_buckets)
+        aph["tracker"] = _time.perf_counter() - s
+        s = _time.perf_counter()
+        self._admit_bucket_rows = sum((r[3] for r in shard_res), np.zeros(self.num_buckets, np.int64))
+        nonempty = [r for r in shard_res if len(r[0])]
+        if not nonempty:
+            return 0
+        comp_all = np.concatenate([r[0] for r in nonempty])
+        tag_all = np.concatenate([r[1] for r in nonempty])
+        oloc_all = np.concatenate([r[2] for r in nonempty])
+        n_admit = len(comp_all)
+        order = np.argsort(comp_all, kind="stable")  # S presorted runs
+        seqs = np.empty(n_admit, np.int64)
+        seqs[order] = np.arange(self.next_seq, self.next_seq + n_admit)
+        self.next_seq += n_admit
+        aph["sort"] = _time.perf_counter() - s
+        s = _time.perf_counter()
+        import ray
+
+        refs = []
+        for a in sorted(set(tag_all.tolist())):
+            sel = tag_all == a
+            o2 = np.argsort(seqs[sel], kind="stable")  # == comp order == ascending oloc
+            refs.append(actors[a].emit_frontier.remote(oloc_all[sel][o2], seqs[sel][o2]))
+        # round-robin registration of the actors' chunked parts (see
+        # the relaxed path: spreads active-slice cut boundaries)
+        per_actor = [list(spill) for spill in ray.get(refs) if spill]
+        while per_actor:
+            nxt = []
+            for parts in per_actor:
+                p = parts.pop(0)
+                if "ref" in p:
+                    self.spill.register_ref(p["ref"], p["rows"], hist=p.get("hist"))
+                else:
+                    self.spill.register_part(p["path"], p["rows"], hist=p.get("hist"))
+                if parts:
+                    nxt.append(parts)
+            per_actor = nxt
+        aph["emit"] = _time.perf_counter() - s
+        return n_admit
 
     def _admit_keys_core(self, cks: list[pa.Table], tags: list[int], emit, now: int) -> int:
         """Shared narrow-key admission: ``cks[k]`` are the 28-byte key

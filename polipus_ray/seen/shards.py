@@ -116,6 +116,37 @@ class UrlSeenShard:
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         return self.filter.check_and_add_many(hashes)
 
+    def admit_sorted(self, refs: list, tags: list, num_buckets: int):
+        """Distributed deterministic admission for this shard's
+        candidate slice (engine det mode, r5): fetch the actors'
+        per-shard key splits from plasma (each already comp-sorted),
+        merge them into global FIFO order, run the sequential
+        first-occurrence probe, and return ONLY the admitted rows'
+        (comp, source-actor tag, oloc) plus the per-bucket admitted
+        histogram the rebalancer folds.  Byte-identical decisions to
+        the old driver merge: the pool's scatter handed this shard the
+        same subsequence in the same comp order (per-URL admission
+        only depends on the relative probe order of that URL's
+        occurrences, and every occurrence of one URL routes here)."""
+        import ray
+
+        parts = [ray.get(r) if not isinstance(r, dict) else r for r in refs]
+        if not parts:
+            z = np.empty(0, np.int64)
+            return z, z, z, np.zeros(num_buckets, np.int64)
+        comp = np.concatenate([p["comp"] for p in parts])
+        uh = np.concatenate([p["uh"] for p in parts])
+        hh = np.concatenate([p["hh"] for p in parts])
+        oloc = np.concatenate([p["oloc"] for p in parts])
+        tag = np.concatenate([np.full(len(p["comp"]), t, np.int64) for p, t in zip(parts, tags)])
+        order = np.argsort(comp, kind="stable")  # W presorted runs -> galloping merge
+        seen = self.filter.check_and_add_many(uh[order])
+        keep = order[~seen]  # ascending comp among admitted
+        hist = np.bincount(
+            (hh[keep].astype(np.uint64, copy=False) % np.uint64(num_buckets)).astype(np.int64), minlength=num_buckets
+        )
+        return comp[keep], tag[keep], oloc[keep], hist
+
     def visited(self, hashes: np.ndarray) -> np.ndarray:
         return self.filter.contains_many(hashes)
 
@@ -274,6 +305,17 @@ class SeenShardPool:
         for r, idx in zip(results, spans):
             out[idx] = r
         return out
+
+    def admit_sorted(self, per_shard_refs: list[list], per_shard_tags: list[list], num_buckets: int) -> list:
+        """Fan the actors' plasma key-split refs out to their shards
+        (one batched admit_sorted per touched shard, all in parallel)
+        and gather the narrow admitted triples.  The keys themselves
+        never pass through the caller."""
+        refs = []
+        for s in range(self.num_shards):
+            if per_shard_refs[s]:
+                refs.append(self._call(s, "admit_sorted", per_shard_refs[s], per_shard_tags[s], num_buckets))
+        return self._gather(refs)
 
     def visited(self, url_hashes, host_hashes) -> np.ndarray:
         results, spans = self._scatter_gather("visited", url_hashes, host_hashes)

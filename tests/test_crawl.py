@@ -53,6 +53,30 @@ def test_depth2_robots_redirects_pool_mode(ray_session, world_dir):
     assert res["seen"] == len(sim.tracker)
 
 
+def test_det_admission_distributed_equals_driver_merge(ray_session, world_dir, tmp_path):
+    """The r5 distributed admission (keys in plasma, shard-side probe,
+    driver ranks only admitted comps) must reproduce the driver-merge
+    path BYTE-exactly: same stored set, same seq order, same metadata.
+    cfg.det_driver_admit forces the old path on the same world."""
+    wd, spec = world_dir
+    cfg = CrawlConfig(depth_limit=2, obey_robots_txt=True, small_round_threshold=0, workers=3)
+    eng_new, _, sim = run_both(wd, spec, cfg, tmpdir=str(tmp_path / "new"))
+    check_parity(eng_new, sim)
+    cfg_old = CrawlConfig(
+        depth_limit=2, obey_robots_txt=True, small_round_threshold=0, workers=3, det_driver_admit=True
+    )
+    eng_old, _, _ = run_both(wd, spec, cfg_old, tmpdir=str(tmp_path / "old"))
+    # not vacuous: each engine must have taken ITS path (the driver
+    # merge records an argsort phase; the distributed path never does)
+    phases = lambda e: {k for m in e.metrics for k in (m.get("phases") or {})}
+    assert "admit_argsort" in phases(eng_old)
+    assert "admit_argsort" not in phases(eng_new) and "admit_tracker" in phases(eng_new)
+    cols = ["uuid", "url", "seq", "depth", "aliases", "referer", "code"]
+    new_rows = sorted(eng_new.pages_table(columns=cols).to_pylist(), key=lambda r: r["seq"])
+    old_rows = sorted(eng_old.pages_table(columns=cols).to_pylist(), key=lambda r: r["seq"])
+    assert new_rows == old_rows
+
+
 def test_depth2_robots_redirects_dataset_mode(ray_session, world_dir):
     # pure ray.data pipeline path (groupby.map_groups fetch)
     wd, spec = world_dir
