@@ -129,6 +129,15 @@ class CrawlConfig:
     # A/B switch and ops fallback.  POLIPUS_DET_DRIVER_ADMIT=1 in the
     # WORKER environment forces it too.
     det_driver_admit: bool = False
+    # plasma-frontier override: None = auto (pool scheduler, no
+    # checkpoint, single node); True forces Ray-object spill parts even
+    # on a multi-node cluster (the 2-virtual-node measurement path —
+    # see tests/multinode_script.py); False forces parquet parts.
+    plasma_frontier: bool | None = None
+    # record per-round part routing + object locations (driver-side
+    # introspection for the multi-node locality measurement; off in
+    # production — it adds a get_object_locations call per round)
+    route_telemetry: bool = False
     # 'pool': persistent fetch-actor pool, fixed bucket->actor affinity,
     #   politeness clocks + web-bucket cache persist across rounds, link
     #   extraction fused in-actor (one barrier per round).

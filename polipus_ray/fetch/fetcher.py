@@ -1306,6 +1306,12 @@ class Fetcher:
             self._load_bucket(b)
         return len(self._buckets)
 
+    def node_id(self) -> str:
+        """This actor's Ray node id (multi-node locality telemetry)."""
+        import ray
+
+        return ray.get_runtime_context().get_node_id()
+
     def _schema(self) -> pa.Schema:
         return pa.schema(
             [

@@ -219,11 +219,17 @@ class CrawlEngine:
         # links), so most parts route back to their producer — on a
         # multi-node cluster the object already lives on the consuming
         # node and the old W-way full-frontier broadcast (ADVICE r3)
-        # does not occur.  The mode still gates on _single_node()
-        # because multi-node plasma lifetimes/spilling are untested in
-        # this sandbox; lifting the gate is a measurement task, not a
-        # design change.
-        self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool" and _single_node())
+        # does not occur.  Auto mode still gates on _single_node()
+        # (conservative default for untested real-cluster epochs);
+        # cfg.plasma_frontier=True lifts the gate — the 2-virtual-node
+        # measurement (tests/multinode_script.py, BASELINE.md r5) runs
+        # the plasma frontier across separate object stores and counts
+        # the cross-node part transfers the locality routing avoids.
+        if cfg.plasma_frontier is not None:
+            self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool" and cfg.plasma_frontier)
+        else:
+            self.spill.plasma = bool(use_ray and not cfg.checkpoint and cfg.fetch_mode == "pool" and _single_node())
+        self.route_log: list[dict] = []  # filled when cfg.route_telemetry
         _n_shards = cfg.resolved_num_seen_shards()
         _cap = cfg.seen_capacity_per_shard
         if _cap is None:
@@ -751,6 +757,28 @@ class CrawlEngine:
         fan = [len(o) if o is not None else W for o in owners]
         if fan:
             ph["route_fanout_mean"] = float(sum(fan) / len(fan))
+        if self.cfg.route_telemetry and part_refs and not isinstance(part_refs[0], str):
+            # multi-node locality measurement: where does each plasma
+            # part LIVE (pre-dispatch, i.e. its producer's node) and
+            # which actors will consume it?
+            try:
+                from ray.experimental import get_object_locations
+
+                locs = get_object_locations(part_refs, timeout_ms=5000)
+                self.route_log.append(
+                    {
+                        "round": r,
+                        "parts": [
+                            {
+                                "nodes": sorted(locs.get(p, {}).get("node_ids") or []),
+                                "consumers": sorted(o) if o is not None else list(range(W)),
+                            }
+                            for p, o in zip(part_refs, owners)
+                        ],
+                    }
+                )
+            except Exception:  # pragma: no cover — telemetry must never break a crawl
+                pass
         # actors read their parts zero-copy and filter to their own
         # buckets (select_mine) — the driver never take()s/serializes
         # per-actor sub-tables
