@@ -272,110 +272,6 @@ def exact_dedup(sf_dir: str):
     return ds.map_batches(add_hash, batch_format="pyarrow").groupby("text_hash").aggregate(Min("doc_id")).map_batches(rename, batch_format="pyarrow")
 
 
-def _chunk_rows_from_ids(ids: np.ndarray, cap: int = _PAIR_CHUNK) -> pa.Table:
-    """Bucket members -> bounded chunk-pair rows.  Members are split
-    into sorted sub-blocks of <= cap ids; each (i <= j) block pair
-    becomes ONE narrow row carrying the two packed id arrays.  A hot
-    bucket with m members emits O((m/cap)^2) such rows (each <= 8 KB)
-    instead of O(m^2) pairs from a single task; ``_expand_chunk_pairs``
-    re-inflates them a few rows per task downstream."""
-    ids = np.unique(np.asarray(ids, dtype=np.int64))
-    m = len(ids)
-    if m < 2:
-        return pa.table(
-            {"ids_a": pa.array([], pa.binary()), "ids_b": pa.array([], pa.binary()), "intra": pa.array([], pa.bool_())}
-        )
-    chunks = [ids[i : i + cap] for i in range(0, m, cap)]
-    if len(chunks) > 1:
-        logger.warning(
-            "hot dedup bucket: %d members split into %d sub-blocks (%d chunk-pair rows; %d candidate pairs total)",
-            m,
-            len(chunks),
-            len(chunks) * (len(chunks) + 1) // 2,
-            m * (m - 1) // 2,
-        )
-    A, B, intra = [], [], []
-    for i in range(len(chunks)):
-        for j in range(i, len(chunks)):
-            A.append(chunks[i].tobytes())
-            B.append(chunks[j].tobytes())
-            intra.append(i == j)
-    return pa.table({"ids_a": pa.array(A, pa.binary()), "ids_b": pa.array(B, pa.binary()), "intra": pa.array(intra, pa.bool_())})
-
-
-def _expand_chunk_pairs(batch: pa.Table):
-    """Chunk-pair rows -> (a, b) candidate pairs, vectorized, yielded
-    one row at a time so no output block exceeds ~cap^2 pairs."""
-    emitted = False
-    for sa, sb, intra in zip(batch["ids_a"].to_pylist(), batch["ids_b"].to_pylist(), batch["intra"].to_pylist()):
-        a = np.frombuffer(sa, dtype=np.int64)
-        b = np.frombuffer(sb, dtype=np.int64)
-        if intra:
-            iu, ju = np.triu_indices(len(a), 1)
-            if not len(iu):
-                continue
-            A, B = a[iu], a[ju]
-        else:
-            # chunks are sorted slices of a sorted array: every id in
-            # the later chunk exceeds every id in the earlier one
-            A = np.repeat(a, len(b))
-            B = np.tile(b, len(a))
-        emitted = True
-        yield pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
-    if not emitted:  # keep the schema observable for downstream groupby
-        yield pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-
-
-def _chunk_sig_rows(ids: np.ndarray, hs: np.ndarray, cap: int = _PAIR_CHUNK) -> pa.Table:
-    """Hamming analogue of ``_chunk_rows_from_ids``: bucket members +
-    their 64-bit signatures -> bounded block-pair rows, each carrying
-    two packed (ids, sigs) blocks of <= cap members.  A degenerate
-    bucket (m near-identical signatures sharing a band) emits
-    O((m/cap)^2) narrow rows instead of doing O(m^2) popcount work —
-    and emitting O(m^2) pairs — in ONE map_groups task;
-    ``_expand_hamming_pairs`` verifies the Hamming budget per row
-    downstream (O(cap^2) work per task)."""
-    ids = np.asarray(ids, dtype=np.int64)
-    uniq, first = np.unique(ids, return_index=True)
-    hs = np.asarray(hs, dtype=np.uint64)[first]
-    m = len(uniq)
-    if m < 2:
-        return pa.table(
-            {
-                "ids_a": pa.array([], pa.binary()),
-                "sigs_a": pa.array([], pa.binary()),
-                "ids_b": pa.array([], pa.binary()),
-                "sigs_b": pa.array([], pa.binary()),
-                "intra": pa.array([], pa.bool_()),
-            }
-        )
-    blocks = [(uniq[i : i + cap], hs[i : i + cap]) for i in range(0, m, cap)]
-    if len(blocks) > 1:
-        logger.warning(
-            "hot hamming bucket: %d members split into %d sub-blocks (%d block-pair rows)",
-            m,
-            len(blocks),
-            len(blocks) * (len(blocks) + 1) // 2,
-        )
-    IA, SA, IB, SB, IT = [], [], [], [], []
-    for i in range(len(blocks)):
-        for j in range(i, len(blocks)):
-            IA.append(blocks[i][0].tobytes())
-            SA.append(blocks[i][1].tobytes())
-            IB.append(blocks[j][0].tobytes())
-            SB.append(blocks[j][1].tobytes())
-            IT.append(i == j)
-    return pa.table(
-        {
-            "ids_a": pa.array(IA, pa.binary()),
-            "sigs_a": pa.array(SA, pa.binary()),
-            "ids_b": pa.array(IB, pa.binary()),
-            "sigs_b": pa.array(SB, pa.binary()),
-            "intra": pa.array(IT, pa.bool_()),
-        }
-    )
-
-
 def _hamming_cross(ids_a: np.ndarray, hs_a: np.ndarray, ids_b: np.ndarray, hs_b: np.ndarray, max_hamming: int):
     """Pairs across two DISJOINT sorted id blocks within the Hamming
     budget (blocks are consecutive slices of a sorted array, so
@@ -387,56 +283,204 @@ def _hamming_cross(ids_a: np.ndarray, hs_a: np.ndarray, ids_b: np.ndarray, hs_b:
     return ids_a[ii], ids_b[jj]
 
 
-def _expand_hamming_pairs(batch: pa.Table, max_hamming: int):
-    """Block-pair rows -> Hamming-verified (a, b) pairs, one output
-    block per row so no task's output exceeds ~cap^2 pairs."""
-    emitted = False
-    for ia, sa, ib, sb, intra in zip(
-        batch["ids_a"].to_pylist(),
-        batch["sigs_a"].to_pylist(),
-        batch["ids_b"].to_pylist(),
-        batch["sigs_b"].to_pylist(),
-        batch["intra"].to_pylist(),
-    ):
-        a_ids = np.frombuffer(ia, dtype=np.int64)
-        a_hs = np.frombuffer(sa, dtype=np.uint64)
-        if intra:
-            A, B = hamming_pairs_vec(a_ids, a_hs, max_hamming)
-        else:
-            A, B = _hamming_cross(a_ids, a_hs, np.frombuffer(ib, dtype=np.int64), np.frombuffer(sb, dtype=np.uint64), max_hamming)
-        if len(A):
-            emitted = True
-            yield pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
-    if not emitted:  # keep the schema observable for downstream groupby
-        yield pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+def _hamming_pairs_from_bucket(group: pa.Table, keys: list[str], id_col: str, sig_col: str, max_hamming: int, cap: int = _PAIR_CHUNK) -> pa.Table:
+    """One hash bucket of Hamming-banded rows -> verified (a, b)
+    pairs, vectorized across ALL band segments: small segments build
+    the pair index arrays in one repeat/cumsum construction and verify
+    popcount(xor) ELEMENTWISE on the pair arrays; hot segments (> cap)
+    fall back to the cap x cap block popcount (``hamming_pairs_vec`` /
+    ``_hamming_cross``) so peak memory stays O(cap^2)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    n = group.num_rows
+    if n < 2:
+        return empty
+    kcols = [group[k].to_numpy() for k in keys]
+    d = group[id_col].to_numpy()
+    hs = group[sig_col].to_numpy()
+    hs = hs.view(np.uint64) if hs.dtype == np.int64 else hs.astype(np.uint64)
+    order = np.lexsort((d, *kcols))
+    d, hs = d[order], hs[order]
+    kcols = [c[order] for c in kcols]
+    newseg = np.zeros(n, bool)
+    newseg[0] = True
+    for c in kcols:
+        newseg[1:] |= c[1:] != c[:-1]
+    keep = np.ones(n, bool)  # duplicate (band, doc) rows collapse
+    keep[1:] = newseg[1:] | (d[1:] != d[:-1])
+    d, hs, newseg = d[keep], hs[keep], newseg[keep]
+    starts = np.flatnonzero(newseg)
+    ends = np.concatenate([starts[1:], [len(d)]])
+    sizes = ends - starts
+    A_out: list[np.ndarray] = []
+    B_out: list[np.ndarray] = []
+    small = sizes <= cap
+    if small.any():
+        rows = np.repeat(small, sizes)
+        d_c, h_c = d[rows], hs[rows]
+        s_sizes = sizes[small]
+        s_starts = np.cumsum(s_sizes) - s_sizes
+        elem_start = np.repeat(s_starts, s_sizes)
+        m = len(d_c)
+        w = np.arange(m) - elem_start
+        p_total = int(w.sum())
+        if p_total:
+            right = np.repeat(np.arange(m), w)
+            offs = np.cumsum(w) - w
+            left = np.arange(p_total) - np.repeat(offs, w) + np.repeat(elem_start, w)
+            bv = np.ascontiguousarray(h_c).view(np.uint8).reshape(m, 8)
+            dist = _POPCOUNT8[bv[left] ^ bv[right]].sum(axis=1, dtype=np.uint16)
+            ok = dist <= max_hamming
+            if ok.any():
+                A_out.append(d_c[left[ok]])
+                B_out.append(d_c[right[ok]])
+    for s0, s1 in zip(starts[~small], ends[~small]):
+        logger.warning("hot hamming band: %d members via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
+        for i in range(s0, s1, cap):
+            ei = min(i + cap, s1)
+            for j in range(i, s1, cap):
+                ej = min(j + cap, s1)
+                if i == j:
+                    A, B = hamming_pairs_vec(d[i:ei], hs[i:ei], max_hamming)
+                else:
+                    A, B = _hamming_cross(d[i:ei], hs[i:ei], d[j:ej], hs[j:ej], max_hamming)
+                if len(A):
+                    A_out.append(A)
+                    B_out.append(B)
+    if not A_out:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(A_out), pa.int64()),
+            "b": pa.array(np.concatenate(B_out), pa.int64()),
+        }
+    )
 
 
 def banded_hamming_pairs(banded, keys: list[str], id_col: str, sig_col: str, max_hamming: int):
-    """groupby(keys) -> Hamming-verified deduped (a, b) pairs with
-    a < b, through the bounded block-pair path (no per-bucket O(m^2)
-    task, however degenerate the bucket)."""
+    """Banded signatures -> Hamming-verified deduped (a, b) pairs with
+    a < b.  Same bounded-bucket shape as ``_banded_pairs``: band-key
+    cardinality is unbounded at corpus scale, so rows hash-bucket on
+    the mixed key columns into a bounded group count and each bucket
+    verifies all its band segments in one vectorized pass (no
+    per-band Python, no per-bucket O(m^2) task)."""
+    nb = 4 * join_partitions(None)
+    mix = np.uint64(0x9E3779B97F4A7C15)
 
-    def chunk_group(g: pa.Table) -> pa.Table:
-        hs = g[sig_col].to_numpy()
-        return _chunk_sig_rows(g[id_col].to_numpy(), hs.view(np.uint64) if hs.dtype == np.int64 else hs.astype(np.uint64))
+    def tag(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(batch.num_rows, np.uint64)
+        for k in keys:
+            v = batch[k].to_numpy()
+            v = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.uint64)
+            acc = (acc * mix) ^ v
+        pk = ((acc * mix) >> np.uint64(17)) % np.uint64(nb)
+        return batch.append_column("pk", pa.array(pk.astype(np.int32), pa.int32()))
 
-    chunked = banded.groupby(keys).map_groups(chunk_group, batch_format="pyarrow")
-    pairs = chunked.map_batches(lambda b: _expand_hamming_pairs(b, max_hamming), batch_format="pyarrow", batch_size=8)
+    pairs = (
+        banded.map_batches(tag, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: _hamming_pairs_from_bucket(g, keys, id_col, sig_col, max_hamming), batch_format="pyarrow")
+    )
     return _dedup_pairs_ds(pairs)
 
 
-def _banded_pairs(banded, keys: list[str], dedup: bool = True):
-    """groupby(keys) -> candidate (a, b) pairs with a < b, via the
-    bounded two-stage generation above.  batch_size=8 keeps per-task
-    pair output <= 8 * cap^2 (~2M pairs).  ``dedup=False`` returns the
-    raw (multi-band duplicated) pairs for consumers that fold the
-    distinct into their own later stage (e.g. the adaptive Jaccard
-    verify, which dedups driver-side below its size limit — skipping
-    a full shuffle)."""
-    chunked = banded.groupby(keys).map_groups(
-        lambda g: _chunk_rows_from_ids(g["doc_id"].to_numpy()), batch_format="pyarrow"
+def _all_pairs_from_bucket(group: pa.Table, keys: list[str], cap: int = _PAIR_CHUNK) -> pa.Table:
+    """One hash bucket of banded rows -> all intra-band (a, b) pairs
+    with a < b, vectorized across ALL of the bucket's band segments in
+    one pass (the ngram PPJoin bucket expansion minus the filters):
+    segments of <= cap members expand through one repeat/cumsum index
+    construction; rare hot bands fall back to cap x cap block loops so
+    peak memory stays O(cap^2).  Duplicate doc rows within one band
+    segment collapse first (the old per-group np.unique)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    n = group.num_rows
+    if n < 2:
+        return empty
+    kcols = [group[k].to_numpy() for k in keys]
+    d = group["doc_id"].to_numpy()
+    order = np.lexsort((d, *kcols))
+    d = d[order]
+    kcols = [c[order] for c in kcols]
+    newseg = np.zeros(n, bool)
+    newseg[0] = True
+    for c in kcols:
+        newseg[1:] |= c[1:] != c[:-1]
+    keep = np.ones(n, bool)  # adjacent-dup doc collapse within a segment
+    keep[1:] = newseg[1:] | (d[1:] != d[:-1])
+    d = d[keep]
+    newseg = newseg[keep]
+    starts = np.flatnonzero(newseg)
+    ends = np.concatenate([starts[1:], [len(d)]])
+    sizes = ends - starts
+    A_out: list[np.ndarray] = []
+    B_out: list[np.ndarray] = []
+    small = sizes <= cap
+    if small.any():
+        rows = np.repeat(small, sizes)
+        d_c = d[rows]
+        s_sizes = sizes[small]
+        s_starts = np.cumsum(s_sizes) - s_sizes
+        elem_start = np.repeat(s_starts, s_sizes)
+        m = len(d_c)
+        w = np.arange(m) - elem_start
+        p_total = int(w.sum())
+        if p_total:
+            right = np.repeat(np.arange(m), w)
+            offs = np.cumsum(w) - w
+            left = np.arange(p_total) - np.repeat(offs, w) + np.repeat(elem_start, w)
+            A_out.append(d_c[left])
+            B_out.append(d_c[right])
+    for s0, s1 in zip(starts[~small], ends[~small]):
+        logger.warning("hot band: %d members expanded via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
+        for i in range(s0, s1, cap):
+            ei = min(i + cap, s1)
+            for j in range(i, s1, cap):
+                ej = min(j + cap, s1)
+                if i == j:
+                    iu, ju = np.triu_indices(ei - i, 1)
+                else:
+                    iu = np.repeat(np.arange(ei - i), ej - j)
+                    ju = np.tile(np.arange(ej - j), ei - i)
+                if len(iu):
+                    A_out.append(d[iu + i])
+                    B_out.append(d[ju + j])
+    if not A_out:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(A_out), pa.int64()),
+            "b": pa.array(np.concatenate(B_out), pa.int64()),
+        }
     )
-    pairs = chunked.map_batches(_expand_chunk_pairs, batch_format="pyarrow", batch_size=8)
+
+
+def _banded_pairs(banded, keys: list[str], dedup: bool = True):
+    """Banded rows -> candidate (a, b) pairs with a < b.  NOT
+    ``groupby(keys)``: band-key cardinality is unbounded at corpus
+    scale (~docs x bands groups) and Ray pays per-group overhead, so
+    rows hash-bucket on the mixed key columns into a BOUNDED group
+    count and each bucket expands all its band segments in one
+    vectorized pass (``_all_pairs_from_bucket``).  ``dedup=False``
+    returns the raw (multi-band duplicated) pairs for consumers that
+    fold the distinct into their own later stage (e.g. the adaptive
+    Jaccard verify, which dedups driver-side below its size limit —
+    skipping a full shuffle)."""
+    nb = 4 * join_partitions(None)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(batch.num_rows, np.uint64)
+        for k in keys:
+            v = batch[k].to_numpy()
+            v = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.uint64)
+            acc = (acc * mix) ^ v
+        pk = ((acc * mix) >> np.uint64(17)) % np.uint64(nb)
+        return batch.append_column("pk", pa.array(pk.astype(np.int32), pa.int32()))
+
+    pairs = (
+        banded.map_batches(tag, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(lambda g: _all_pairs_from_bucket(g, keys), batch_format="pyarrow")
+    )
     return _dedup_pairs_ds(pairs) if dedup else pairs
 
 

@@ -357,12 +357,13 @@ def test_hamming_pairs_vec_matches_scalar():
 
 
 def test_hot_bucket_bounded_split(ray_session):
-    """Degenerate band key (identical docs): the bounded two-stage
-    pair generation must split the hot bucket into sub-blocks (no
-    single O(m^2) task output) and still emit the exact pair set."""
-    from polipus_ray.ops.dedup import _PAIR_CHUNK, _chunk_rows_from_ids, minhash_lsh_pairs
+    """Degenerate band key (identical docs): the bounded bucket
+    expansion must run the hot band through cap x cap block loops (no
+    single O(m^2) allocation beyond cap^2) and still emit the exact
+    pair set."""
+    from polipus_ray.ops.dedup import _PAIR_CHUNK, _all_pairs_from_bucket, minhash_lsh_pairs
 
-    n = 600  # > _PAIR_CHUNK so the split path engages end-to-end
+    n = 600  # > _PAIR_CHUNK so the block path engages end-to-end
     assert n > _PAIR_CHUNK
     t = pa.table(
         {
@@ -373,11 +374,21 @@ def test_hot_bucket_bounded_split(ray_session):
     got = minhash_lsh_pairs(SF, threshold=0.8, table=t)
     assert got.count() == n * (n - 1) // 2  # every pair, exactly once
 
-    # unit: a 10k-member bucket emits O((m/cap)^2) narrow rows, not pairs
-    rows = _chunk_rows_from_ids(np.arange(10_000, dtype=np.int64))
-    nch = (10_000 + _PAIR_CHUNK - 1) // _PAIR_CHUNK
-    assert rows.num_rows == nch * (nch + 1) // 2
-    assert max(len(x) for x in rows["ids_a"].to_pylist()) <= _PAIR_CHUNK * 8
+    # unit: hot-band block fallback == small-segment vectorized path,
+    # and duplicate doc rows within one band collapse first
+    grp = pa.table(
+        {
+            "band": pa.array([0] * 9 + [1] * 4, pa.int64()),
+            "doc_id": pa.array([3, 1, 4, 1, 5, 9, 2, 6, 5, 7, 8, 7, 9], pa.int64()),
+        }
+    )
+    fast = _all_pairs_from_bucket(grp, ["band"])
+    forced = _all_pairs_from_bucket(grp, ["band"], cap=3)
+    as_set = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist()))
+    assert as_set(fast) == as_set(forced)
+    assert all(a < b for a, b in as_set(fast))
+    # band 0 docs {1,2,3,4,5,6,9} -> 21 pairs; band 1 {7,8,9} -> 3
+    assert len(as_set(fast)) == 21 + 3
 
 
 def test_hamming_hot_bucket_bounded_split(ray_session):
@@ -385,7 +396,7 @@ def test_hamming_hot_bucket_bounded_split(ray_session):
     through the bounded block-pair path — no single map_groups task
     does O(m^2) popcount work or emits O(m^2) pairs — and still emit
     the exact pair set."""
-    from polipus_ray.ops.dedup import _PAIR_CHUNK, _chunk_sig_rows, simhash_pairs
+    from polipus_ray.ops.dedup import _hamming_pairs_from_bucket, simhash_pairs
 
     n = 1500  # ~3 sub-blocks per band bucket
     t = pa.table(
@@ -397,14 +408,23 @@ def test_hamming_hot_bucket_bounded_split(ray_session):
     got = simhash_pairs(SF, max_hamming=3, table=t)
     assert got.count() == n * (n - 1) // 2  # every pair, exactly once
 
-    # unit: 50k identical signatures -> O((m/cap)^2) narrow block-pair
-    # rows (each block <= cap members), never pair rows
-    ids = np.arange(50_000, dtype=np.int64)
-    hs = np.full(50_000, 0xDEADBEEF, dtype=np.uint64)
-    rows = _chunk_sig_rows(ids, hs)
-    nch = (50_000 + _PAIR_CHUNK - 1) // _PAIR_CHUNK
-    assert rows.num_rows == nch * (nch + 1) // 2
-    assert max(len(x) for x in rows["ids_a"].to_pylist()) <= _PAIR_CHUNK * 8
+    # unit: block fallback == elementwise small-segment path on mixed
+    # random signatures, at every threshold regime
+    rng = np.random.default_rng(3)
+    m = 40
+    grp = pa.table(
+        {
+            "band": pa.array([0] * m + [1] * (m // 2), pa.int64()),
+            "doc_id": pa.array(list(range(m)) + list(range(100, 100 + m // 2)), pa.int64()),
+            "sig": pa.array(rng.integers(0, 1 << 16, size=m + m // 2, dtype=np.uint64).view(np.int64), pa.int64()),
+        }
+    )
+    for mh in (0, 3, 8):
+        fast = _hamming_pairs_from_bucket(grp, ["band"], "doc_id", "sig", mh)
+        forced = _hamming_pairs_from_bucket(grp, ["band"], "doc_id", "sig", mh, cap=7)
+        as_set = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist()))
+        assert as_set(fast) == as_set(forced), mh
+        assert all(a < b for a, b in as_set(fast))
 
 
 def test_md5vec_matches_hashlib():
