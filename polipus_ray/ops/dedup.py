@@ -254,22 +254,49 @@ def _minhash_sig_many(sets: list[np.ndarray], a: np.ndarray, b: np.ndarray) -> n
 
 
 def exact_dedup(sf_dir: str):
-    """Keep min doc_id per exact text hash.  Oracle-SQL-checked."""
+    """Keep min doc_id per exact text hash.  Oracle-SQL-checked.
+
+    NOT ``groupby(text_hash).aggregate(Min)``: that makes one Ray
+    group per DISTINCT DOCUMENT — unbounded at corpus scale, and Ray
+    pays per-group overhead (the 72 s / 1.7M-group measurement in
+    ``_dedup_pairs_ds``).  Rows hash-bucket on the digest's u64 prefix
+    into a bounded group count; each bucket folds its hashes with one
+    lexsort + first-of-run pick (= min doc_id per hash).  Digests come
+    from the vectorized in-repo MD5 straight off the Arrow buffer (no
+    per-row hashlib), and the hex column is ONE ``bytes.hex()`` call
+    sliced per row."""
     import ray.data
 
-    from ray.data.aggregate import Min
+    from .md5vec import md5_digest_arrow
+
+    nb = 4 * join_partitions(None)
+    mix = np.uint64(0x9E3779B97F4A7C15)
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"], "text_hash": pa.array(hs, pa.string())})
+        dig = md5_digest_arrow(batch["text"].combine_chunks())  # (n, 16) u8
+        whole = dig.tobytes().hex()
+        hs = [whole[i << 5 : (i + 1) << 5] for i in range(len(dig))]
+        dv = np.ascontiguousarray(dig[:, :8]).view(np.uint64).ravel()
+        pk = ((dv * mix) >> np.uint64(17)) % np.uint64(nb)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_hash": pa.array(hs, pa.string()),
+                "pk": pa.array(pk.astype(np.int32), pa.int32()),
+            }
+        )
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"text_hash": batch["text_hash"], "doc_id": batch["min(doc_id)"]})
+    def fold(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["text_hash"].to_pylist(), dtype=object)
+        d = group["doc_id"].to_numpy()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.ones(len(h), bool)
+        first[1:] = h[1:] != h[:-1]
+        return pa.table({"text_hash": pa.array(h[first], pa.string()), "doc_id": pa.array(d[first], pa.int64())})
 
     ds = _docs_read(sf_dir)
-    # vectorized hash aggregate (one python call per BLOCK, not per
-    # group — map_groups would pay a call per distinct hash)
-    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("text_hash").aggregate(Min("doc_id")).map_batches(rename, batch_format="pyarrow")
+    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("pk").map_groups(fold, batch_format="pyarrow")
 
 
 def _hamming_cross(ids_a: np.ndarray, hs_a: np.ndarray, ids_b: np.ndarray, hs_b: np.ndarray, max_hamming: int):
@@ -1444,13 +1471,42 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, driver_pair_limit: int =
     return docs.map_batches(mark, batch_format="pyarrow").sort("doc_id")
 
 
+def min_label_fold(ds):
+    """(node, label) rows -> one (node, min label) row per node,
+    through a BOUNDED hash-bucket shuffle + per-bucket lexsort fold.
+    NOT ``groupby(node).aggregate(Min)``: one Ray group per graph node
+    is unbounded at corpus scale and pays per-group overhead (see
+    ``_dedup_pairs_ds``)."""
+    nb = 4 * join_partitions(None)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch["node"].to_numpy().view(np.uint64)
+        pk = ((v * mix) >> np.uint64(17)) % np.uint64(nb)
+        return pa.table(
+            {"node": batch["node"], "label": batch["label"], "pk": pa.array(pk.astype(np.int32), pa.int32())}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        n = group["node"].to_numpy()
+        l = group["label"].to_numpy()
+        order = np.lexsort((l, n))
+        n, l = n[order], l[order]
+        first = np.ones(len(n), bool)
+        first[1:] = n[1:] != n[:-1]
+        return pa.table({"node": pa.array(n[first], pa.int64()), "label": pa.array(l[first], pa.int64())})
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("pk").map_groups(fold, batch_format="pyarrow")
+
+
 def _cc_labels_distributed(pairs, n_pairs: int | None = None, max_iters: int = 25):
     """Min-label propagation over the pair graph returning the full
     (node, label) dataset — the labels twin of
-    ops/images._cc_losers_distributed (same join/groupby supersteps)."""
+    ops/images._cc_losers_distributed (same join + bounded-fold
+    supersteps)."""
     import logging
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
@@ -1464,16 +1520,7 @@ def _cc_labels_distributed(pairs, n_pairs: int | None = None, max_iters: int = 2
     def self_label(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "label": batch["node"]})
 
-    def rename_min(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["node"], "label": batch["min(label)"]})
-
-    labels = (
-        edges.map_batches(self_label, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label"))
-        .map_batches(rename_min, batch_format="pyarrow")
-        .materialize()
-    )
+    labels = min_label_fold(edges.map_batches(self_label, batch_format="pyarrow")).materialize()
     prev_sum = None
     for _ in range(max_iters):
         nbr = edges.join(
@@ -1485,7 +1532,7 @@ def _cc_labels_distributed(pairs, n_pairs: int | None = None, max_iters: int = 2
             right_suffix="_l",
         )
         prop = nbr.select_columns(["node", "label"]).union(labels)
-        labels = prop.groupby("node").aggregate(Min("label")).map_batches(rename_min, batch_format="pyarrow").materialize()
+        labels = min_label_fold(prop).materialize()
         s = labels.aggregate(Sum("label"))["sum(label)"]
         if s == prev_sum:
             break

@@ -127,13 +127,15 @@ def phash_neardup_pairs(ds, id_col: str = "doc_id", max_hamming: int = 4):
 
 def _cc_losers_distributed(pairs, max_iters: int = 25, n_pairs: int | None = None):
     """Connected components over the pair graph as iterated min-label
-    propagation — every step is a Ray Data join/groupby, nothing on
-    the driver.  Converges when the (monotone non-increasing) label
-    sum stops changing; returns a (loser:int64,) dataset of every
-    non-representative node."""
+    propagation — every step is a Ray Data join or bounded-bucket
+    fold, nothing on the driver.  Converges when the (monotone
+    non-increasing) label sum stops changing; returns a
+    (loser:int64,) dataset of every non-representative node."""
     import logging
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
+
+    from .dedup import min_label_fold
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
@@ -147,16 +149,7 @@ def _cc_losers_distributed(pairs, max_iters: int = 25, n_pairs: int | None = Non
     def self_label(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "label": batch["node"]})
 
-    def rename_min(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["node"], "label": batch["min(label)"]})
-
-    labels = (
-        edges.map_batches(self_label, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label"))
-        .map_batches(rename_min, batch_format="pyarrow")
-        .materialize()
-    )
+    labels = min_label_fold(edges.map_batches(self_label, batch_format="pyarrow")).materialize()
     prev_sum = None
     for it in range(max_iters):
         nbr = edges.join(
@@ -169,7 +162,7 @@ def _cc_losers_distributed(pairs, max_iters: int = 25, n_pairs: int | None = Non
         )
         # nbr columns: node, nbr, label (the neighbor's label)
         prop = nbr.select_columns(["node", "label"]).union(labels)
-        labels = prop.groupby("node").aggregate(Min("label")).map_batches(rename_min, batch_format="pyarrow").materialize()
+        labels = min_label_fold(prop).materialize()
         s = labels.aggregate(Sum("label"))["sum(label)"]
         if s == prev_sum:
             break
