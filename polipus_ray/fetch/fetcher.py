@@ -968,12 +968,13 @@ class Fetcher:
         bucket_rows = None
         if spill_path is not None and self.cfg.deterministic_order and cand is not None and cand.num_rows:
             # deterministic scale path: candidates sorted locally and
-            # STAY in the actor; only the narrow ordering/dedup keys
-            # (url_hash, host_hash, parent_seq, link_idx — 28 B/row)
-            # go to the driver, which runs the global FIFO admission
-            # and calls back emit_frontier() with admitted indices +
-            # seqs.  Byte-identical order to driver streaming, without
-            # candidate strings ever crossing the driver.
+            # STAY in the actor.  Default (r5): the narrow keys go to
+            # PLASMA pre-split by seen shard — the driver sees only
+            # refs, the shards probe their slices, and emit_frontier()
+            # gets admitted indices + seqs.  Fallback (TTL / comp
+            # overflow / det_driver_admit): the 28 B/row key table
+            # ships to the driver for the legacy global merge.  Both
+            # byte-identical to driver streaming.
             s = time.perf_counter()
             # sort + dedup in INDEX space so the wide candidate table
             # (url/referer strings) is gathered exactly once

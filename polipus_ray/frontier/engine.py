@@ -905,15 +905,20 @@ class CrawlEngine:
         return None
 
     def _admit_narrow_keys(self, results: list[dict], ref_actors: list[int], actors: list, now: int) -> int:
-        """Deterministic-mode global FIFO admission over NARROW keys
-        only (url_hash, host_hash, parent_seq, link_idx — 28 B per
-        candidate): merge-sort driver-side, run the tracker probe in
-        discovery order (first-occurrence-wins == the reference's
-        enqueue serialization), assign global seqs, then call each
-        actor's emit_frontier() with its admitted positions + seqs —
-        the actor writes its own spill part.  Candidate strings never
-        cross the driver; byte-identical crawl order to the old
-        driver-streaming path (verified by the parity suite).
+        """Deterministic-mode global FIFO admission.  Default (r5):
+        fully distributed — actors shipped {shard: plasma ref} key
+        splits and the driver dispatches to ``_admit_distributed``
+        (shard-side probes, driver ranks only admitted comps).
+        Fallback (TTL recrawl, comp overflow, det_driver_admit): the
+        legacy driver merge over NARROW key tables (url_hash,
+        host_hash, parent_seq, link_idx — 28 B per candidate):
+        merge-sort driver-side, run the tracker probe in discovery
+        order (first-occurrence-wins == the reference's enqueue
+        serialization), assign global seqs, then call each actor's
+        emit_frontier() with its admitted positions + seqs — the
+        actor writes its own spill part.  Candidate strings never
+        cross the driver on either path; both byte-identical (parity
+        suite + test_det_admission_distributed_equals_driver_merge).
 
         Note: actor-written parts hold interleaved seq ranges, so when
         ``queue_items_limit`` slices a wave into several rounds the

@@ -127,10 +127,11 @@ def lang_id(sf_dir: str):
 
     path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
-    # autoscaling (1, 2): a fixed pool min can deadlock the streaming
-    # executor when other actors hold the session's CPUs (see
-    # images.decode_stage)
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    # autoscaling (1, 8): min=1 so a fixed pool min can't deadlock the
+    # streaming executor when other actors hold the session's CPUs
+    # (see images.decode_stage); max=8 lets the per-row vote loop
+    # spread when cores are free (the stage is pure-Python bound)
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
