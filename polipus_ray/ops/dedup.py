@@ -260,11 +260,13 @@ def exact_dedup(sf_dir: str):
     group per DISTINCT DOCUMENT — unbounded at corpus scale, and Ray
     pays per-group overhead (the 72 s / 1.7M-group measurement in
     ``_dedup_pairs_ds``).  Rows hash-bucket on the digest's u64 prefix
-    into a bounded group count; each bucket folds its hashes with one
-    lexsort + first-of-run pick (= min doc_id per hash).  Digests come
-    from the vectorized in-repo MD5 straight off the Arrow buffer (no
-    per-row hashlib), and the hex column is ONE ``bytes.hex()`` call
-    sliced per row."""
+    into a bounded group count; the digest travels as TWO int64
+    columns so the per-bucket fold is one NUMERIC lexsort +
+    first-of-run pick (= min doc_id per hash — no per-row Python
+    strings in the shuffle or the sort), and only the winning rows are
+    hex-encoded (one big-endian byteswap view + one ``bytes.hex()``
+    call, sliced per row).  Digests come from the vectorized in-repo
+    MD5 straight off the Arrow buffer (no per-row hashlib)."""
     import ray.data
 
     from .md5vec import md5_digest_arrow
@@ -274,26 +276,32 @@ def exact_dedup(sf_dir: str):
 
     def add_hash(batch: pa.Table) -> pa.Table:
         dig = md5_digest_arrow(batch["text"].combine_chunks())  # (n, 16) u8
-        whole = dig.tobytes().hex()
-        hs = [whole[i << 5 : (i + 1) << 5] for i in range(len(dig))]
-        dv = np.ascontiguousarray(dig[:, :8]).view(np.uint64).ravel()
-        pk = ((dv * mix) >> np.uint64(17)) % np.uint64(nb)
+        h2 = np.ascontiguousarray(dig).view(np.uint64).reshape(-1, 2)  # little-endian halves
+        pk = ((h2[:, 0] * mix) >> np.uint64(17)) % np.uint64(nb)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "text_hash": pa.array(hs, pa.string()),
+                "h1": pa.array(h2[:, 0].view(np.int64), pa.int64()),
+                "h2": pa.array(h2[:, 1].view(np.int64), pa.int64()),
                 "pk": pa.array(pk.astype(np.int32), pa.int32()),
             }
         )
 
     def fold(group: pa.Table) -> pa.Table:
-        h = np.asarray(group["text_hash"].to_pylist(), dtype=object)
+        h1 = group["h1"].to_numpy()
+        h2 = group["h2"].to_numpy()
         d = group["doc_id"].to_numpy()
-        order = np.lexsort((d, h))
-        h, d = h[order], d[order]
-        first = np.ones(len(h), bool)
-        first[1:] = h[1:] != h[:-1]
-        return pa.table({"text_hash": pa.array(h[first], pa.string()), "doc_id": pa.array(d[first], pa.int64())})
+        order = np.lexsort((d, h2, h1))
+        h1, h2, d = h1[order], h2[order], d[order]
+        first = np.ones(len(d), bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        h1, h2, d = h1[first], h2[first], d[first]
+        dig = np.empty((len(d), 2), np.uint64)
+        dig[:, 0] = h1.view(np.uint64)
+        dig[:, 1] = h2.view(np.uint64)
+        whole = dig.tobytes().hex()  # same byte order the halves were viewed from
+        hs = [whole[i << 5 : (i + 1) << 5] for i in range(len(d))]
+        return pa.table({"text_hash": pa.array(hs, pa.string()), "doc_id": pa.array(d, pa.int64())})
 
     ds = _docs_read(sf_dir)
     return ds.map_batches(add_hash, batch_format="pyarrow").groupby("pk").map_groups(fold, batch_format="pyarrow")
@@ -310,204 +318,259 @@ def _hamming_cross(ids_a: np.ndarray, hs_a: np.ndarray, ids_b: np.ndarray, hs_b:
     return ids_a[ii], ids_b[jj]
 
 
-def _hamming_pairs_from_bucket(group: pa.Table, keys: list[str], id_col: str, sig_col: str, max_hamming: int, cap: int = _PAIR_CHUNK) -> pa.Table:
-    """One hash bucket of Hamming-banded rows -> verified (a, b)
-    pairs, vectorized across ALL band segments: small segments build
-    the pair index arrays in one repeat/cumsum construction and verify
-    popcount(xor) ELEMENTWISE on the pair arrays; hot segments (> cap)
-    fall back to the cap x cap block popcount (``hamming_pairs_vec`` /
-    ``_hamming_cross``) so peak memory stays O(cap^2)."""
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+_PAIR_BUDGET = 1_000_000  # max pairs one descriptor row may expand to
+
+
+def _mix_tag(batch: pa.Table, keys: list[str], nb: int) -> pa.Table:
+    """Append the bounded hash-bucket column ``pk`` mixed from one or
+    more int64 key columns — the multi-key sibling of
+    ``windows._bucket_tag`` (same golden-ratio mixing), shared by
+    every pair-generation pipeline here so the scheme changes in one
+    place."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros(batch.num_rows, np.uint64)
+    for k in keys:
+        v = batch[k].to_numpy()
+        v = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.uint64)
+        acc = (acc * mix) ^ v
+    pk = ((acc * mix) >> np.uint64(17)) % np.uint64(nb)
+    return batch.append_column("pk", pa.array(pk.astype(np.int32), pa.int32()))
+
+
+def _bucket_segments(group: pa.Table, keys: list[str], id_col: str = "doc_id", meta_cols: tuple = ()):
+    """Lexsort one hash bucket into (key-tuple, doc) order, mark the
+    key-segment boundaries, and collapse duplicate (segment, doc)
+    rows.  Returns ``(d, meta, newseg)`` with ``meta`` an (n, m) int64
+    sidecar (None when ``meta_cols`` is empty)."""
     n = group.num_rows
-    if n < 2:
-        return empty
     kcols = [group[k].to_numpy() for k in keys]
     d = group[id_col].to_numpy()
-    hs = group[sig_col].to_numpy()
-    hs = hs.view(np.uint64) if hs.dtype == np.int64 else hs.astype(np.uint64)
     order = np.lexsort((d, *kcols))
-    d, hs = d[order], hs[order]
+    d = d[order]
     kcols = [c[order] for c in kcols]
+    meta = None
+    if meta_cols:
+        meta = np.stack([group[c].to_numpy().astype(np.int64, copy=False)[order] for c in meta_cols], axis=1)
     newseg = np.zeros(n, bool)
-    newseg[0] = True
+    if n:
+        newseg[0] = True
     for c in kcols:
         newseg[1:] |= c[1:] != c[:-1]
-    keep = np.ones(n, bool)  # duplicate (band, doc) rows collapse
+    keep = np.ones(n, bool)  # duplicate (segment, doc) rows collapse
     keep[1:] = newseg[1:] | (d[1:] != d[:-1])
-    d, hs, newseg = d[keep], hs[keep], newseg[keep]
+    d, newseg = d[keep], newseg[keep]
+    if meta is not None:
+        meta = meta[keep]
+    return d, meta, newseg
+
+
+def _segment_descriptors(
+    d: np.ndarray, meta, newseg: np.ndarray, cap: int = _PAIR_CHUNK, budget: int = _PAIR_BUDGET
+) -> pa.Table:
+    """Doc-sorted, segment-contiguous bucket rows -> NARROW descriptor
+    rows, each expanding to <= max(budget, cap^2) candidate pairs in
+    the downstream generator stage.  This keeps BOTH invariants: the
+    r5 bounded GROUP count (the caller buckets on hashed keys, not raw
+    band keys) and the r4 bounded PER-TASK OUTPUT (a degenerate bucket
+    emits many small rows — bytes proportional to members — never one
+    giant pair block; pinned by test_hot_bucket_bounded_split /
+    test_descriptor_rows_bounded).
+
+    kind 0: a run of whole small segments (ids + per-segment sizes),
+    pair-budgeted; kind 1: one intra block of a hot (> cap) segment;
+    kind 2: one cross block pair of a hot segment (ids in b all exceed
+    ids in a — consecutive slices of a doc-sorted segment)."""
+    mw = 0 if meta is None else meta.shape[1]
+    rows: dict[str, list] = {"kind": [], "ids_a": [], "meta_a": [], "ids_b": [], "meta_b": [], "sizes": []}
+
+    def add(kind, ia, ma, ib, mb, sz):
+        rows["kind"].append(kind)
+        rows["ids_a"].append(ia.tobytes())
+        rows["meta_a"].append(b"" if ma is None else np.ascontiguousarray(ma).tobytes())
+        rows["ids_b"].append(b"" if ib is None else ib.tobytes())
+        rows["meta_b"].append(b"" if mb is None else np.ascontiguousarray(mb).tobytes())
+        rows["sizes"].append(b"" if sz is None else np.ascontiguousarray(sz).tobytes())
+
     starts = np.flatnonzero(newseg)
-    ends = np.concatenate([starts[1:], [len(d)]])
+    ends = np.concatenate([starts[1:], [len(d)]]) if len(starts) else np.empty(0, np.int64)
     sizes = ends - starts
-    A_out: list[np.ndarray] = []
-    B_out: list[np.ndarray] = []
     small = sizes <= cap
     if small.any():
-        rows = np.repeat(small, sizes)
-        d_c, h_c = d[rows], hs[rows]
+        keep_rows = np.repeat(small, sizes)
+        d_c = d[keep_rows]
+        m_c = meta[keep_rows] if meta is not None else None
         s_sizes = sizes[small]
-        s_starts = np.cumsum(s_sizes) - s_sizes
-        elem_start = np.repeat(s_starts, s_sizes)
-        m = len(d_c)
-        w = np.arange(m) - elem_start
-        p_total = int(w.sum())
-        if p_total:
+        pc = s_sizes * (s_sizes - 1) // 2
+        cpc = np.cumsum(pc)
+        coffs = np.cumsum(s_sizes)
+        seg0 = 0
+        base = 0
+        while seg0 < len(s_sizes):
+            seg1 = int(np.searchsorted(cpc, base + budget, side="right"))
+            seg1 = max(seg1, seg0 + 1)
+            r0 = int(coffs[seg0 - 1]) if seg0 else 0
+            r1 = int(coffs[seg1 - 1])
+            add(0, d_c[r0:r1], None if m_c is None else m_c[r0:r1], None, None, s_sizes[seg0:seg1])
+            base = int(cpc[seg1 - 1])
+            seg0 = seg1
+    for s0, s1 in zip(starts[~small], ends[~small]):
+        logger.warning("hot segment: %d members via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
+        for i in range(s0, s1, cap):
+            ei = min(i + cap, s1)
+            add(1, d[i:ei], None if meta is None else meta[i:ei], None, None, None)
+            for j in range(i + cap, s1, cap):
+                ej = min(j + cap, s1)
+                add(2, d[i:ei], None if meta is None else meta[i:ei], d[j:ej], None if meta is None else meta[j:ej], None)
+    return pa.table(
+        {
+            "kind": pa.array(rows["kind"], pa.int8()),
+            "ids_a": pa.array(rows["ids_a"], pa.binary()),
+            "meta_a": pa.array(rows["meta_a"], pa.binary()),
+            "ids_b": pa.array(rows["ids_b"], pa.binary()),
+            "meta_b": pa.array(rows["meta_b"], pa.binary()),
+            "sizes": pa.array(rows["sizes"], pa.binary()),
+            "mw": pa.array([mw] * len(rows["kind"]), pa.int8()),
+        }
+    )
+
+
+def _expand_pair_descriptors(batch: pa.Table, filt=None):
+    """Descriptor rows -> (a, b) candidate pair tables, one yield per
+    row so no output block exceeds ~max(budget, cap^2) pairs
+    (generator map_batches with a small batch_size — the r4 two-stage
+    discipline).  ``filt(meta_left, meta_right) -> keep mask`` applies
+    the family predicate (PPJoin positional/length, Hamming budget);
+    None keeps every constructed pair."""
+    emitted = False
+    for k, ia, ma, ib, mb, sz, mw in zip(
+        batch["kind"].to_pylist(),
+        batch["ids_a"].to_pylist(),
+        batch["meta_a"].to_pylist(),
+        batch["ids_b"].to_pylist(),
+        batch["meta_b"].to_pylist(),
+        batch["sizes"].to_pylist(),
+        batch["mw"].to_pylist(),
+    ):
+        da = np.frombuffer(ia, np.int64)
+        meta_a = np.frombuffer(ma, np.int64).reshape(len(da), mw) if mw else None
+        db = meta_b = None
+        if k == 0:
+            s_sizes = np.frombuffer(sz, np.int64)
+            s_starts = np.cumsum(s_sizes) - s_sizes
+            elem_start = np.repeat(s_starts, s_sizes)
+            m = len(da)
+            w = np.arange(m) - elem_start
+            p_total = int(w.sum())
+            if not p_total:
+                continue
             right = np.repeat(np.arange(m), w)
             offs = np.cumsum(w) - w
             left = np.arange(p_total) - np.repeat(offs, w) + np.repeat(elem_start, w)
-            bv = np.ascontiguousarray(h_c).view(np.uint8).reshape(m, 8)
-            dist = _POPCOUNT8[bv[left] ^ bv[right]].sum(axis=1, dtype=np.uint16)
-            ok = dist <= max_hamming
-            if ok.any():
-                A_out.append(d_c[left[ok]])
-                B_out.append(d_c[right[ok]])
-    for s0, s1 in zip(starts[~small], ends[~small]):
-        logger.warning("hot hamming band: %d members via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
-        for i in range(s0, s1, cap):
-            ei = min(i + cap, s1)
-            for j in range(i, s1, cap):
-                ej = min(j + cap, s1)
-                if i == j:
-                    A, B = hamming_pairs_vec(d[i:ei], hs[i:ei], max_hamming)
-                else:
-                    A, B = _hamming_cross(d[i:ei], hs[i:ei], d[j:ej], hs[j:ej], max_hamming)
-                if len(A):
-                    A_out.append(A)
-                    B_out.append(B)
-    if not A_out:
-        return empty
-    return pa.table(
-        {
-            "a": pa.array(np.concatenate(A_out), pa.int64()),
-            "b": pa.array(np.concatenate(B_out), pa.int64()),
-        }
+        elif k == 1:
+            left, right = np.triu_indices(len(da), 1)
+            if not len(left):
+                continue
+        else:
+            db = np.frombuffer(ib, np.int64)
+            meta_b = np.frombuffer(mb, np.int64).reshape(len(db), mw) if mw else None
+            left = np.repeat(np.arange(len(da)), len(db))
+            right = np.tile(np.arange(len(db)), len(da))
+        if k == 2:
+            A, B = da[left], db[right]
+            mL = meta_a[left] if meta_a is not None else None
+            mR = meta_b[right] if meta_b is not None else None
+        else:
+            A, B = da[left], da[right]
+            mL = meta_a[left] if meta_a is not None else None
+            mR = meta_a[right] if meta_a is not None else None
+        if filt is not None:
+            okm = filt(mL, mR)
+            if not okm.all():
+                A, B = A[okm], B[okm]
+        if len(A):
+            emitted = True
+            yield pa.table({"a": pa.array(A, pa.int64()), "b": pa.array(B, pa.int64())})
+    if not emitted:  # keep the schema observable for downstream stages
+        yield pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+
+def _pp_filter(threshold: float):
+    """PPJoin positional + length occurrence filter (Xiao et al.,
+    WWW'08).  meta rows are (set_size, prefix_pos); a pair meeting at
+    a gram at 0-based positions i in X and j in Y can overlap at most
+    ``min(|X|-i, |Y|-j)`` counting the gram itself, and J >= t needs
+    overlap >= t/(1+t)*(|X|+|Y|).  Safe per-occurrence: the FIRST
+    common gram of any true pair lies in both prefixes (O >= t|X|
+    bounds its position) and passes the bound exactly; later shared
+    grams may fail it, which only removes duplicate emissions of the
+    same pair.  1e-9 slack keeps the float boundary conservative
+    (verify downstream is exact)."""
+    q = threshold / (1.0 + threshold)
+
+    def filt(mL: np.ndarray, mR: np.ndarray) -> np.ndarray:
+        ssum = mL[:, 0] + mR[:, 0]
+        ok = np.minimum(mL[:, 0] - mL[:, 1], mR[:, 0] - mR[:, 1]) >= q * ssum - 1e-9
+        ok &= np.minimum(mL[:, 0], mR[:, 0]) * (1.0 + threshold) >= threshold * ssum - 1e-9
+        return ok
+
+    return filt
+
+
+def _hamming_filter(max_hamming: int):
+    """popcount(xor(sig_a, sig_b)) <= max_hamming, elementwise on the
+    pair arrays via the byte-popcount LUT."""
+
+    def filt(mL: np.ndarray, mR: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(mL[:, 0] ^ mR[:, 0])
+        bv = x.view(np.uint8).reshape(len(x), 8)
+        return _POPCOUNT8[bv].sum(axis=1, dtype=np.uint16) <= max_hamming
+
+    return filt
+
+
+def _bucketed_candidate_pairs(banded, keys: list[str], meta_cols: tuple = (), id_col: str = "doc_id", filt=None):
+    """Banded rows -> candidate (a, b) pairs with a < b, through a
+    BOUNDED hash-bucket shuffle (band-key cardinality is unbounded at
+    corpus scale and Ray pays per-group overhead), per-bucket
+    segment-vectorized descriptor emission (bytes ∝ members), and a
+    generator expansion stage whose per-task output is pair-budgeted
+    (batch_size=8 -> <= 8 * max(budget, cap^2) pairs per task)."""
+    nb = 4 * join_partitions(None)
+
+    def bucket(group: pa.Table) -> pa.Table:
+        d, meta, newseg = _bucket_segments(group, keys, id_col, meta_cols)
+        return _segment_descriptors(d, meta, newseg)
+
+    desc = (
+        banded.map_batches(lambda b: _mix_tag(b, keys, nb), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(bucket, batch_format="pyarrow")
     )
+    return desc.map_batches(lambda b: _expand_pair_descriptors(b, filt), batch_format="pyarrow", batch_size=8)
+
+
+def _pairs_via_descriptors(group: pa.Table, keys: list[str], meta_cols: tuple = (), id_col: str = "doc_id", filt=None, cap: int = _PAIR_CHUNK, budget: int = _PAIR_BUDGET) -> pa.Table:
+    """Pure-local composition of the two stages (unit-test harness)."""
+    d, meta, newseg = _bucket_segments(group, keys, id_col, meta_cols)
+    desc = _segment_descriptors(d, meta, newseg, cap, budget)
+    return pa.concat_tables(list(_expand_pair_descriptors(desc, filt)))
 
 
 def banded_hamming_pairs(banded, keys: list[str], id_col: str, sig_col: str, max_hamming: int):
     """Banded signatures -> Hamming-verified deduped (a, b) pairs with
-    a < b.  Same bounded-bucket shape as ``_banded_pairs``: band-key
-    cardinality is unbounded at corpus scale, so rows hash-bucket on
-    the mixed key columns into a bounded group count and each bucket
-    verifies all its band segments in one vectorized pass (no
-    per-band Python, no per-bucket O(m^2) task)."""
-    nb = 4 * join_partitions(None)
-    mix = np.uint64(0x9E3779B97F4A7C15)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        acc = np.zeros(batch.num_rows, np.uint64)
-        for k in keys:
-            v = batch[k].to_numpy()
-            v = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.uint64)
-            acc = (acc * mix) ^ v
-        pk = ((acc * mix) >> np.uint64(17)) % np.uint64(nb)
-        return batch.append_column("pk", pa.array(pk.astype(np.int32), pa.int32()))
-
-    pairs = (
-        banded.map_batches(tag, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(lambda g: _hamming_pairs_from_bucket(g, keys, id_col, sig_col, max_hamming), batch_format="pyarrow")
-    )
+    a < b, via the bounded-bucket descriptor pipeline."""
+    pairs = _bucketed_candidate_pairs(banded, keys, meta_cols=(sig_col,), id_col=id_col, filt=_hamming_filter(max_hamming))
     return _dedup_pairs_ds(pairs)
 
 
-def _all_pairs_from_bucket(group: pa.Table, keys: list[str], cap: int = _PAIR_CHUNK) -> pa.Table:
-    """One hash bucket of banded rows -> all intra-band (a, b) pairs
-    with a < b, vectorized across ALL of the bucket's band segments in
-    one pass (the ngram PPJoin bucket expansion minus the filters):
-    segments of <= cap members expand through one repeat/cumsum index
-    construction; rare hot bands fall back to cap x cap block loops so
-    peak memory stays O(cap^2).  Duplicate doc rows within one band
-    segment collapse first (the old per-group np.unique)."""
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    n = group.num_rows
-    if n < 2:
-        return empty
-    kcols = [group[k].to_numpy() for k in keys]
-    d = group["doc_id"].to_numpy()
-    order = np.lexsort((d, *kcols))
-    d = d[order]
-    kcols = [c[order] for c in kcols]
-    newseg = np.zeros(n, bool)
-    newseg[0] = True
-    for c in kcols:
-        newseg[1:] |= c[1:] != c[:-1]
-    keep = np.ones(n, bool)  # adjacent-dup doc collapse within a segment
-    keep[1:] = newseg[1:] | (d[1:] != d[:-1])
-    d = d[keep]
-    newseg = newseg[keep]
-    starts = np.flatnonzero(newseg)
-    ends = np.concatenate([starts[1:], [len(d)]])
-    sizes = ends - starts
-    A_out: list[np.ndarray] = []
-    B_out: list[np.ndarray] = []
-    small = sizes <= cap
-    if small.any():
-        rows = np.repeat(small, sizes)
-        d_c = d[rows]
-        s_sizes = sizes[small]
-        s_starts = np.cumsum(s_sizes) - s_sizes
-        elem_start = np.repeat(s_starts, s_sizes)
-        m = len(d_c)
-        w = np.arange(m) - elem_start
-        p_total = int(w.sum())
-        if p_total:
-            right = np.repeat(np.arange(m), w)
-            offs = np.cumsum(w) - w
-            left = np.arange(p_total) - np.repeat(offs, w) + np.repeat(elem_start, w)
-            A_out.append(d_c[left])
-            B_out.append(d_c[right])
-    for s0, s1 in zip(starts[~small], ends[~small]):
-        logger.warning("hot band: %d members expanded via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
-        for i in range(s0, s1, cap):
-            ei = min(i + cap, s1)
-            for j in range(i, s1, cap):
-                ej = min(j + cap, s1)
-                if i == j:
-                    iu, ju = np.triu_indices(ei - i, 1)
-                else:
-                    iu = np.repeat(np.arange(ei - i), ej - j)
-                    ju = np.tile(np.arange(ej - j), ei - i)
-                if len(iu):
-                    A_out.append(d[iu + i])
-                    B_out.append(d[ju + j])
-    if not A_out:
-        return empty
-    return pa.table(
-        {
-            "a": pa.array(np.concatenate(A_out), pa.int64()),
-            "b": pa.array(np.concatenate(B_out), pa.int64()),
-        }
-    )
-
-
 def _banded_pairs(banded, keys: list[str], dedup: bool = True):
-    """Banded rows -> candidate (a, b) pairs with a < b.  NOT
-    ``groupby(keys)``: band-key cardinality is unbounded at corpus
-    scale (~docs x bands groups) and Ray pays per-group overhead, so
-    rows hash-bucket on the mixed key columns into a BOUNDED group
-    count and each bucket expands all its band segments in one
-    vectorized pass (``_all_pairs_from_bucket``).  ``dedup=False``
-    returns the raw (multi-band duplicated) pairs for consumers that
-    fold the distinct into their own later stage (e.g. the adaptive
-    Jaccard verify, which dedups driver-side below its size limit —
-    skipping a full shuffle)."""
-    nb = 4 * join_partitions(None)
-    mix = np.uint64(0x9E3779B97F4A7C15)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        acc = np.zeros(batch.num_rows, np.uint64)
-        for k in keys:
-            v = batch[k].to_numpy()
-            v = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.uint64)
-            acc = (acc * mix) ^ v
-        pk = ((acc * mix) >> np.uint64(17)) % np.uint64(nb)
-        return batch.append_column("pk", pa.array(pk.astype(np.int32), pa.int32()))
-
-    pairs = (
-        banded.map_batches(tag, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(lambda g: _all_pairs_from_bucket(g, keys), batch_format="pyarrow")
-    )
+    """Banded rows -> candidate (a, b) pairs with a < b, via the
+    bounded-bucket descriptor pipeline.  ``dedup=False`` returns the
+    raw (multi-band duplicated) pairs for consumers that fold the
+    distinct into their own later stage (e.g. the adaptive Jaccard
+    verify, which dedups driver-side below its size limit — skipping
+    a full shuffle)."""
+    pairs = _bucketed_candidate_pairs(banded, keys)
     return _dedup_pairs_ds(pairs) if dedup else pairs
 
 
@@ -817,10 +880,19 @@ _MINHASH_PAIRS_CACHE: dict[tuple, object] = {}
 
 
 def _ray_session_key() -> str:
+    """Identify the CURRENT Ray instance: job id alone is not enough —
+    a fresh cluster after ray.shutdown()/ray.init() reuses job ids
+    (the first driver is always 01000000), which would hand back a
+    materialized dataset whose blocks lived in the destroyed object
+    store.  The driver's node id changes with every local raylet, so
+    (node, job) is unique per live session."""
     try:
         import ray
 
-        return ray.get_runtime_context().get_job_id() if ray.is_initialized() else "uninit"
+        if not ray.is_initialized():
+            return "uninit"
+        ctx = ray.get_runtime_context()
+        return f"{ctx.get_node_id()}:{ctx.get_job_id()}"
     except Exception:  # pragma: no cover — introspection must never fail a pipeline
         return "unknown"
 
@@ -841,7 +913,12 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.8, num_perm: int = 128, 
     if table is None:
         import os as _os
 
-        cache_key = (_ray_session_key(), _os.path.abspath(sf_dir), threshold, num_perm, bands, ngram, driver_id_limit)
+        try:  # input-file identity: a regenerated corpus must not hit
+            st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+            file_id = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            file_id = None
+        cache_key = (_ray_session_key(), _os.path.abspath(sf_dir), file_id, threshold, num_perm, bands, ngram, driver_id_limit)
         cached = _MINHASH_PAIRS_CACHE.get(cache_key)
         if cached is not None:
             return cached
@@ -1034,102 +1111,13 @@ def _gram_hashes_batch(texts: list[str], n: int) -> list[np.ndarray]:
     return out  # type: ignore[return-value]
 
 
-def _pp_pairs_from_bucket(group: pa.Table, threshold: float, cap: int = _PAIR_CHUNK) -> pa.Table:
-    """One hash bucket of exploded prefix occurrences (gram, doc_id,
-    sz, pos) -> positional-filtered candidate (a, b) pairs, vectorized
-    across ALL of the bucket's gram segments in one pass.
-
-    PPJoin positional filter (Xiao et al., WWW'08), occurrence-based:
-    a pair meeting at gram g, at 0-based prefix positions i in X and
-    j in Y, can overlap at most ``ub = 1 + min(|X|-i-1, |Y|-j-1)``
-    counting g itself; J >= t needs overlap >= t/(1+t)*(|X|+|Y|), so
-    drop the occurrence when ub falls short.  Safe per-occurrence
-    because the FIRST common gram of any true pair lies in both
-    prefixes (O >= t*|X| bounds its position) and passes the bound
-    exactly; later shared grams may fail it, which only removes
-    duplicate emissions of the same pair.  The length filter
-    min*(1+t) >= t*(sx+sy) is folded in for free.  1e-9 slack keeps
-    the float boundary conservative (verify downstream is exact).
-
-    Segments of <= cap members expand through ONE repeat/cumsum index
-    construction (no per-gram Python, no per-gram pa.table — the
-    groupby("gram") predecessor paid ~1.1 s of per-group overhead at
-    sf0.1); rare hot grams (> cap members) fall back to cap x cap
-    block-pair loops so peak memory stays O(cap^2) however degenerate
-    the gram."""
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    n = group.num_rows
-    if n < 2:
-        return empty
-    g = group["gram"].to_numpy()
-    d = group["doc_id"].to_numpy()
-    sz = group["sz"].to_numpy().astype(np.int64)
-    ps = group["pos"].to_numpy().astype(np.int64)
-    order = np.lexsort((d, g))
-    g, d, sz, ps = g[order], d[order], sz[order], ps[order]
-    rem = sz - ps  # |X| - i == 1 + elements after g in the set
-    q = threshold / (1.0 + threshold)
-    bnd = np.flatnonzero(g[1:] != g[:-1]) + 1
-    starts = np.concatenate([[0], bnd])
-    ends = np.concatenate([bnd, [n]])
-    sizes = ends - starts
-    A_out: list[np.ndarray] = []
-    B_out: list[np.ndarray] = []
-    small = sizes <= cap
-    if small.any():
-        keep_rows = np.repeat(small, sizes)
-        d_c, sz_c, rem_c = d[keep_rows], sz[keep_rows], rem[keep_rows]
-        s_sizes = sizes[small]
-        s_starts = np.cumsum(s_sizes) - s_sizes
-        elem_start = np.repeat(s_starts, s_sizes)
-        m = len(d_c)
-        w = np.arange(m) - elem_start  # within-segment position
-        p_total = int(w.sum())
-        if p_total:
-            # element e at within-position w pairs (as the right member,
-            # doc-sorted so a < b) with the w segment members before it
-            right = np.repeat(np.arange(m), w)
-            offs = np.cumsum(w) - w
-            left = np.arange(p_total) - np.repeat(offs, w) + np.repeat(elem_start, w)
-            ssum = sz_c[left] + sz_c[right]
-            ok = np.minimum(rem_c[left], rem_c[right]) >= q * ssum - 1e-9
-            ok &= np.minimum(sz_c[left], sz_c[right]) * (1.0 + threshold) >= threshold * ssum - 1e-9
-            if ok.any():
-                A_out.append(d_c[left[ok]])
-                B_out.append(d_c[right[ok]])
-    for s0, s1 in zip(starts[~small], ends[~small]):
-        logger.warning("hot gram: %d members expanded via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
-        for i in range(s0, s1, cap):
-            ei = min(i + cap, s1)
-            for j in range(i, s1, cap):
-                ej = min(j + cap, s1)
-                ssum = sz[i:ei, None] + sz[None, j:ej]
-                ok = np.minimum.outer(rem[i:ei], rem[j:ej]) >= q * ssum - 1e-9
-                ok &= np.minimum.outer(sz[i:ei], sz[j:ej]) * (1.0 + threshold) >= threshold * ssum - 1e-9
-                ii, jj = np.nonzero(ok)
-                if i == j:
-                    sel = jj > ii
-                    ii, jj = ii[sel], jj[sel]
-                if len(ii):
-                    A_out.append(d[ii + i])
-                    B_out.append(d[jj + j])
-    if not A_out:
-        return empty
-    return pa.table(
-        {
-            "a": pa.array(np.concatenate(A_out), pa.int64()),
-            "b": pa.array(np.concatenate(B_out), pa.int64()),
-        }
-    )
-
-
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=None, driver_id_limit: int = 20_000):
     """Near-dup pairs via word n-gram Jaccard, exact.  Candidates come
     from a PREFIX-FILTERED inverted index (index each doc's smallest
     |X| - ceil(t*|X|) + 1 gram hashes; the AllPairs prefix filter
     guarantees any pair with J >= t shares an indexed gram) with the
     PPJoin POSITIONAL filter applied at pair generation (see
-    ``_expand_pp_pairs``), then exact Jaccard verification via the
+    ``_pp_filter``), then exact Jaccard verification via the
     distributed signature join.  Output == brute-force all-pairs
     Jaccard >= threshold, which is what the DuckDB oracle computes.
 
@@ -1172,13 +1160,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5, table=N
 
     ds = ray.data.from_arrow(table) if table is not None else _docs_read(sf_dir)
     sigs = ds.map_batches(gram_sets, batch_format="pyarrow").materialize()
-    from polipus_ray.ops.windows import _bucket_tag
-
-    # bounded bucket shuffle (house pattern): gram cardinality is
-    # unbounded at corpus scale, so hash grams into join_partitions()
-    # buckets and expand each bucket's segments in one vectorized pass
-    cand = _bucket_tag(sigs.map_batches(explode_prefix, batch_format="pyarrow"), "gram", 4 * join_partitions(None)).map_groups(
-        lambda grp: _pp_pairs_from_bucket(grp, threshold), batch_format="pyarrow"
+    # bounded-bucket descriptor pipeline (gram cardinality is unbounded
+    # at corpus scale) with the PPJoin positional/length filter applied
+    # at expansion
+    cand = _bucketed_candidate_pairs(
+        sigs.map_batches(explode_prefix, batch_format="pyarrow"), ["gram"], meta_cols=("sz", "pos"), filt=_pp_filter(threshold)
     )
     n_docs = table.num_rows if table is not None else _parquet_rows(f"{sf_dir}/documents.parquet")
     return _jaccard_verify_join(cand, sigs, threshold, rows=n_docs, driver_id_limit=driver_id_limit)
@@ -1478,14 +1464,6 @@ def min_label_fold(ds):
     is unbounded at corpus scale and pays per-group overhead (see
     ``_dedup_pairs_ds``)."""
     nb = 4 * join_partitions(None)
-    mix = np.uint64(0x9E3779B97F4A7C15)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        v = batch["node"].to_numpy().view(np.uint64)
-        pk = ((v * mix) >> np.uint64(17)) % np.uint64(nb)
-        return pa.table(
-            {"node": batch["node"], "label": batch["label"], "pk": pa.array(pk.astype(np.int32), pa.int32())}
-        )
 
     def fold(group: pa.Table) -> pa.Table:
         n = group["node"].to_numpy()
@@ -1496,7 +1474,11 @@ def min_label_fold(ds):
         first[1:] = n[1:] != n[:-1]
         return pa.table({"node": pa.array(n[first], pa.int64()), "label": pa.array(l[first], pa.int64())})
 
-    return ds.map_batches(tag, batch_format="pyarrow").groupby("pk").map_groups(fold, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda b: _mix_tag(b.select(["node", "label"]), ["node"], nb), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(fold, batch_format="pyarrow")
+    )
 
 
 def _cc_labels_distributed(pairs, n_pairs: int | None = None, max_iters: int = 25):

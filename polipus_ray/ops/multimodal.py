@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..synth.images import _HDR, _LOSSY, _MAGIC, _QSTEP, encode_image, image_header_groups
+from ..synth.images import _HDR, _LOSSLESS, _LOSSY, _MAGIC, _QSTEP, encode_image, image_header_groups
 
 # ---------------------------------------------------------------------------
 # image resize (REAL: numpy nearest-neighbor on the in-repo codec)
@@ -60,6 +60,10 @@ class ImageResize:
         )
         if (valid & ~ok).any():
             raise ValueError("not a PRAY image")
+        known = _LOSSY | _LOSSLESS  # same contract as encode_image
+        bad = [f for f in np.unique(fmts[ok]) if f not in known] if ok.any() else []
+        if bad:
+            raise NotImplementedError(f"image format {bad[0]!r} (real codecs not available in this container)")
         m2 = self.out_h * self.out_w * 3
         row_size = _HDR + m2
         out_offs = np.zeros(n + 1, np.int32)

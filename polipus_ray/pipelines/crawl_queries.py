@@ -209,7 +209,14 @@ def ensure_decode_fixture(sf_dir: str) -> str:
 
     wkey = hashlib.md5(",".join(str(int(x)) for x in np.sort(ids.astype(np.int64))).encode()).hexdigest()
     os.makedirs(_FIXTURES, exist_ok=True)
-    path = os.path.join(_FIXTURES, f"expected_{wkey[:12]}.parquet")
+    # filename additionally keyed by the WorldSpec so a spec change
+    # regenerates rather than serving a stale expected table; the
+    # in-file world_key column stays doc-digest-only (the oracle SQL
+    # recomputes THAT from the documents view)
+    from dataclasses import asdict
+
+    skey = hashlib.md5(str(sorted(asdict(SQL_SPEC).items())).encode()).hexdigest()[:8]
+    path = os.path.join(_FIXTURES, f"expected_{wkey[:12]}_{skey}.parquet")
     if not os.path.exists(path):
         from ..synth.world import decode_expected_table
 

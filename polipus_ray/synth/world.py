@@ -301,15 +301,20 @@ def decode_expected_table(documents: pa.Table | str, spec: WorldSpec = WorldSpec
     wkey = hashlib.md5(",".join(str(int(x)) for x in doc_id).encode()).hexdigest()
     lum_centi = np.zeros(n, np.int64)
     npx = np.zeros(n, np.int64)
-    phok = np.zeros(n, bool)
     for j in range(n):
         ii = int(doc_id[j])
         px = _pixels_for(spec, ii)
         fmt = "jpeg" if ii % 4 == 0 else "png"  # same rule as make_web_table
         dec, w, h, _ = decode_image(encode_image(px, fmt))
-        phok[j] = phash64(dec) == phash64(dec)  # stored phash is phash64(dec) by construction
         lum_centi[j] = int(np.round(dec.mean() * 100))
         npx[j] = h * w
+    # expected phash_ok is True BY DEFINITION: make_web_table stores
+    # phash64(decoded bytes), so a correct pipeline recomputation must
+    # match it.  The real equality under test is the DISTRIBUTED
+    # batched kernel vs that stored scalar value — exercised by the
+    # crawl_decode_verify query itself; recomputing the scalar hash
+    # here would only compare a value to itself.
+    phok = np.ones(n, bool)
     return pa.table(
         {
             "doc_id": pa.array(doc_id, pa.int64()),

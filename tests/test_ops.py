@@ -137,12 +137,12 @@ def test_ngram_jaccard_pairs(ray_session):
 
 
 def test_pp_pairs_bucket_block_fallback_matches_vectorized():
-    """The hot-gram cap x cap block-pair fallback in
-    _pp_pairs_from_bucket must emit exactly the same filtered pairs as
-    the small-segment vectorized path."""
+    """The hot-gram cap x cap block fallback and the pair-budget
+    slicing in the descriptor pipeline must emit exactly the same
+    filtered pairs as the single-slice vectorized path."""
     import random
 
-    from polipus_ray.ops.dedup import _pp_pairs_from_bucket
+    from polipus_ray.ops.dedup import _pairs_via_descriptors, _pp_filter
 
     rng = random.Random(7)
     gram, doc, sz, pos = [], [], [], []
@@ -162,11 +162,14 @@ def test_pp_pairs_bucket_block_fallback_matches_vectorized():
             "pos": pa.array(pos, pa.int32()),
         }
     )
+    as_set = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist()))
     for thr in (0.3, 0.5, 0.8):
-        big = _pp_pairs_from_bucket(grp, thr)  # all segments <= default cap
-        forced = _pp_pairs_from_bucket(grp, thr, cap=3)  # every segment through block pairs
-        as_set = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist()))
-        assert as_set(big) == as_set(forced), thr
+        run = lambda **kw: _pairs_via_descriptors(grp, ["gram"], meta_cols=("sz", "pos"), filt=_pp_filter(thr), **kw)
+        big = run()  # all segments small, one budget slice
+        forced_blocks = run(cap=3)  # every segment through block pairs
+        forced_budget = run(budget=4)  # many kind-0 slices
+        assert as_set(big) == as_set(forced_blocks), thr
+        assert as_set(big) == as_set(forced_budget), thr
         assert all(a < b for a, b in as_set(big))
 
 
@@ -361,7 +364,7 @@ def test_hot_bucket_bounded_split(ray_session):
     expansion must run the hot band through cap x cap block loops (no
     single O(m^2) allocation beyond cap^2) and still emit the exact
     pair set."""
-    from polipus_ray.ops.dedup import _PAIR_CHUNK, _all_pairs_from_bucket, minhash_lsh_pairs
+    from polipus_ray.ops.dedup import _PAIR_CHUNK, _pairs_via_descriptors, _segment_descriptors, minhash_lsh_pairs
 
     n = 600  # > _PAIR_CHUNK so the block path engages end-to-end
     assert n > _PAIR_CHUNK
@@ -382,13 +385,37 @@ def test_hot_bucket_bounded_split(ray_session):
             "doc_id": pa.array([3, 1, 4, 1, 5, 9, 2, 6, 5, 7, 8, 7, 9], pa.int64()),
         }
     )
-    fast = _all_pairs_from_bucket(grp, ["band"])
-    forced = _all_pairs_from_bucket(grp, ["band"], cap=3)
+    fast = _pairs_via_descriptors(grp, ["band"])
+    forced = _pairs_via_descriptors(grp, ["band"], cap=3)
     as_set = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist()))
     assert as_set(fast) == as_set(forced)
     assert all(a < b for a, b in as_set(fast))
     # band 0 docs {1,2,3,4,5,6,9} -> 21 pairs; band 1 {7,8,9} -> 3
     assert len(as_set(fast)) == 21 + 3
+
+    # bounded per-task OUTPUT invariant (the r4 two-stage guarantee):
+    # a 10k-member degenerate segment emits O((m/cap)^2) NARROW
+    # descriptor rows (each block <= cap ids), never pair rows; and a
+    # bucket of many medium segments slices kind-0 rows by the pair
+    # budget
+    ids = np.arange(10_000, dtype=np.int64)
+    newseg = np.zeros(10_000, bool)
+    newseg[0] = True
+    rows = _segment_descriptors(ids, None, newseg)
+    nch = (10_000 + _PAIR_CHUNK - 1) // _PAIR_CHUNK
+    assert rows.num_rows == nch * (nch + 1) // 2
+    assert max(len(x) for x in rows["ids_a"].to_pylist()) <= _PAIR_CHUNK * 8
+    # 1000 segments of 100 members = 4.95M pairs -> >= 5 budget slices
+    ids2 = np.arange(100_000, dtype=np.int64)
+    newseg2 = np.zeros(100_000, bool)
+    newseg2[::100] = True
+    rows2 = _segment_descriptors(ids2, None, newseg2)
+    assert rows2.num_rows >= 5
+    per_row_segs = [len(np.frombuffer(s, np.int64)) for s in rows2["sizes"].to_pylist()]
+    per_row_pairs = [n * 100 * 99 // 2 for n in per_row_segs]
+    from polipus_ray.ops.dedup import _PAIR_BUDGET
+
+    assert max(per_row_pairs) <= _PAIR_BUDGET + 100 * 99 // 2  # one segment may straddle
 
 
 def test_hamming_hot_bucket_bounded_split(ray_session):
@@ -396,7 +423,7 @@ def test_hamming_hot_bucket_bounded_split(ray_session):
     through the bounded block-pair path — no single map_groups task
     does O(m^2) popcount work or emits O(m^2) pairs — and still emit
     the exact pair set."""
-    from polipus_ray.ops.dedup import _hamming_pairs_from_bucket, simhash_pairs
+    from polipus_ray.ops.dedup import _hamming_filter, _pairs_via_descriptors, simhash_pairs
 
     n = 1500  # ~3 sub-blocks per band bucket
     t = pa.table(
@@ -420,10 +447,13 @@ def test_hamming_hot_bucket_bounded_split(ray_session):
         }
     )
     for mh in (0, 3, 8):
-        fast = _hamming_pairs_from_bucket(grp, ["band"], "doc_id", "sig", mh)
-        forced = _hamming_pairs_from_bucket(grp, ["band"], "doc_id", "sig", mh, cap=7)
+        run = lambda **kw: _pairs_via_descriptors(grp, ["band"], meta_cols=("sig",), filt=_hamming_filter(mh), **kw)
+        fast = run()
+        forced = run(cap=7)
+        budgeted = run(budget=11)
         as_set = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist()))
         assert as_set(fast) == as_set(forced), mh
+        assert as_set(fast) == as_set(budgeted), mh
         assert all(a < b for a, b in as_set(fast))
 
 
