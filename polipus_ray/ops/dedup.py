@@ -264,8 +264,10 @@ def exact_dedup(sf_dir: str):
     columns so the per-bucket fold is one NUMERIC lexsort +
     first-of-run pick (= min doc_id per hash — no per-row Python
     strings in the shuffle or the sort), and only the winning rows are
-    hex-encoded (one big-endian byteswap view + one ``bytes.hex()``
-    call, sliced per row).  Digests come from the vectorized in-repo
+    hex-encoded: the two native-order halves are written back into a
+    uint64 array and round-trip through ONE ``bytes.hex()`` call
+    (sliced per row) — the bytes were viewed in native order, so no
+    byteswap is involved.  Digests come from the vectorized in-repo
     MD5 straight off the Arrow buffer (no per-row hashlib)."""
     import ray.data
 
@@ -307,17 +309,6 @@ def exact_dedup(sf_dir: str):
     return ds.map_batches(add_hash, batch_format="pyarrow").groupby("pk").map_groups(fold, batch_format="pyarrow")
 
 
-def _hamming_cross(ids_a: np.ndarray, hs_a: np.ndarray, ids_b: np.ndarray, hs_b: np.ndarray, max_hamming: int):
-    """Pairs across two DISJOINT sorted id blocks within the Hamming
-    budget (blocks are consecutive slices of a sorted array, so
-    a < b holds for every emitted pair)."""
-    bva = np.ascontiguousarray(hs_a, dtype=np.uint64).view(np.uint8).reshape(len(ids_a), 8)
-    bvb = np.ascontiguousarray(hs_b, dtype=np.uint64).view(np.uint8).reshape(len(ids_b), 8)
-    d = _POPCOUNT8[bva[:, None, :] ^ bvb[None, :, :]].sum(axis=2, dtype=np.uint16)
-    ii, jj = np.nonzero(d <= max_hamming)
-    return ids_a[ii], ids_b[jj]
-
-
 _PAIR_BUDGET = 1_000_000  # max pairs one descriptor row may expand to
 
 
@@ -344,7 +335,7 @@ def _bucket_segments(group: pa.Table, keys: list[str], id_col: str = "doc_id", m
     sidecar (None when ``meta_cols`` is empty)."""
     n = group.num_rows
     kcols = [group[k].to_numpy() for k in keys]
-    d = group[id_col].to_numpy()
+    d = group[id_col].to_numpy().astype(np.int64, copy=False)  # tobytes()/frombuffer contract
     order = np.lexsort((d, *kcols))
     d = d[order]
     kcols = [c[order] for c in kcols]
@@ -394,7 +385,9 @@ def _segment_descriptors(
     starts = np.flatnonzero(newseg)
     ends = np.concatenate([starts[1:], [len(d)]]) if len(starts) else np.empty(0, np.int64)
     sizes = ends - starts
-    small = sizes <= cap
+    # singleton segments (the vast majority of LSH band values) can
+    # never pair — drop them before any bytes are copied or shipped
+    small = (sizes <= cap) & (sizes >= 2)
     if small.any():
         keep_rows = np.repeat(small, sizes)
         d_c = d[keep_rows]
@@ -413,7 +406,8 @@ def _segment_descriptors(
             add(0, d_c[r0:r1], None if m_c is None else m_c[r0:r1], None, None, s_sizes[seg0:seg1])
             base = int(cpc[seg1 - 1])
             seg0 = seg1
-    for s0, s1 in zip(starts[~small], ends[~small]):
+    hot = sizes > cap
+    for s0, s1 in zip(starts[hot], ends[hot]):
         logger.warning("hot segment: %d members via %d-block pairs", s1 - s0, -(-(s1 - s0) // cap))
         for i in range(s0, s1, cap):
             ei = min(i + cap, s1)

@@ -393,11 +393,18 @@ def test_hot_bucket_bounded_split(ray_session):
     # band 0 docs {1,2,3,4,5,6,9} -> 21 pairs; band 1 {7,8,9} -> 3
     assert len(as_set(fast)) == 21 + 3
 
-    # bounded per-task OUTPUT invariant (the r4 two-stage guarantee):
-    # a 10k-member degenerate segment emits O((m/cap)^2) NARROW
-    # descriptor rows (each block <= cap ids), never pair rows; and a
-    # bucket of many medium segments slices kind-0 rows by the pair
-    # budget
+
+
+
+def test_descriptor_rows_bounded():
+    """Bounded per-task OUTPUT invariant (the r4 two-stage guarantee):
+    a 10k-member degenerate segment emits O((m/cap)^2) NARROW
+    descriptor rows (each block <= cap ids), never pair rows; a bucket
+    of many medium segments slices kind-0 rows by the pair budget; and
+    singleton segments (most LSH band values) are dropped before any
+    bytes are copied."""
+    from polipus_ray.ops.dedup import _PAIR_BUDGET, _PAIR_CHUNK, _segment_descriptors
+
     ids = np.arange(10_000, dtype=np.int64)
     newseg = np.zeros(10_000, bool)
     newseg[0] = True
@@ -413,9 +420,28 @@ def test_hot_bucket_bounded_split(ray_session):
     assert rows2.num_rows >= 5
     per_row_segs = [len(np.frombuffer(s, np.int64)) for s in rows2["sizes"].to_pylist()]
     per_row_pairs = [n * 100 * 99 // 2 for n in per_row_segs]
-    from polipus_ray.ops.dedup import _PAIR_BUDGET
-
     assert max(per_row_pairs) <= _PAIR_BUDGET + 100 * 99 // 2  # one segment may straddle
+    # all-singleton bucket -> ZERO descriptor rows (nothing can pair)
+    ids3 = np.arange(5_000, dtype=np.int64)
+    rows3 = _segment_descriptors(ids3, None, np.ones(5_000, bool))
+    assert rows3.num_rows == 0
+
+
+def test_descriptor_pipeline_accepts_int32_ids():
+    """id columns of any integer dtype must survive the tobytes /
+    frombuffer round trip (regression: int32 doc_id corrupted or
+    crashed the expansion)."""
+    from polipus_ray.ops.dedup import _pairs_via_descriptors
+
+    grp = pa.table(
+        {
+            "band": pa.array([0, 0, 0, 0], pa.int64()),
+            "doc_id": pa.array([4, 2, 7, 5], pa.int32()),
+        }
+    )
+    out = _pairs_via_descriptors(grp, ["band"], id_col="doc_id")
+    got = sorted(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert got == [(2, 4), (2, 5), (2, 7), (4, 5), (4, 7), (5, 7)]
 
 
 def test_hamming_hot_bucket_bounded_split(ray_session):
