@@ -181,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": lambda sf: value_histogram(sf, bin_cents=1000),
         # per-user sequence bigrams (transition matrix)
         "events_type_transitions": type_transitions,
+        # benchmark-contamination flags: broadcast the (small) eval
+        # set's distinct word 8-grams, map-only membership — the
+        # decontamination pass every pretraining corpus runs
+        "docs_contamination": _contamination,
     }
 
 
@@ -188,6 +192,12 @@ def _curation(sf: str):
     from polipus_ray.ops.curate import curation
 
     return curation(sf)
+
+
+def _contamination(sf: str):
+    from polipus_ray.ops.curate import contamination
+
+    return contamination(sf, n=8, bench_mod=97)
 
 
 def _dedup_clusters(sf: str):
@@ -1006,6 +1016,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    (sig.doc_id = dd.keeper AND sig.n_words BETWEEN 30 AND 500 AND sig.stop_cnt >= 2
                     AND sig.n_distinct * 10 >= sig.n_words * 3 AND sig.top_chars * 5 <= sig.n_chars) AS keep
             FROM sig JOIN dd USING(h) ORDER BY doc_id
+        """,
+        # benchmark contamination: the eval set (doc_id % 97 == 0)
+        # contributes its distinct word 8-grams; n_hits = how many of
+        # those a document contains.  Joins on the gram STRINGS; the
+        # Ray op joins on their md5-u64 hashes (identical modulo 2^-64
+        # collisions — the shared house hash recipe)
+        "docs_contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents
+            ), gl AS (
+              SELECT doc_id, CASE WHEN len(t) = 0 THEN []
+                                  WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                                  ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END AS gs
+              FROM toks
+            ), g AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM gl),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (SELECT g.doc_id, count(*) AS n_hits FROM g JOIN bench USING (gram) GROUP BY 1)
+            SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id
         """,
     }
     for name, builder in (

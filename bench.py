@@ -203,9 +203,10 @@ def bench_ops() -> dict:
     from polipus_ray.ops.sample import pack_greedy
 
     timed("docs_pack_greedy", lambda: pack_greedy(SF_DIR))
-    from polipus_ray.ops.curate import curation
+    from polipus_ray.ops.curate import contamination, curation
 
     timed("docs_curation", lambda: curation(SF_DIR))
+    timed("docs_contamination", lambda: contamination(SF_DIR, n=8, bench_mod=97))
     from polipus_ray.ops.ann import label_vector_sums
 
     timed("emb_label_sums", lambda: label_vector_sums(SF_DIR))

@@ -110,3 +110,65 @@ def curation(sf_dir: str):
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
     sig = ds.map_batches(signals, batch_format="pyarrow")
     return _bucket_tag(sig, "h", join_partitions(None)).map_groups(verdicts, batch_format="pyarrow").sort("doc_id")
+
+
+def contamination(sf_dir: str, n: int = 8, bench_mod: int = 97):
+    """Benchmark-contamination detection — the decontamination pass
+    every pretraining pipeline runs before a corpus ships: flag every
+    document sharing at least one word ``n``-gram with the evaluation
+    set (here: docs with ``doc_id % bench_mod == 0`` stand in for the
+    benchmark, so the op needs no external data and the DuckDB oracle
+    replays it exactly).  Output: (doc_id, n_hits = DISTINCT benchmark
+    grams the doc contains, contaminated).
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets
+    are thousands of documents against a corpus of billions), so its
+    distinct gram hashes are collected once, sorted, and broadcast via
+    ``ray.put``; the corpus pass is then map-only — batched gram
+    hashing (the shared ``_gram_hashes_batch`` md5 kernel) + one
+    ``searchsorted`` membership per batch.  No shuffle at all.  Gram
+    identity is the md5-u64 hash (the house Python/SQL hash recipe);
+    the oracle joins on the gram STRINGS, identical modulo 2^-64
+    collisions."""
+    import ray
+    import ray.data
+
+    from polipus_ray.ops.dedup import _gram_hashes_batch, small_read_blocks
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"], override_num_blocks=small_read_blocks(path))
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = ids % bench_mod == 0
+        if not sel.any():
+            return pa.table({"gram": pa.array([], pa.int64())})
+        texts = batch.filter(pa.array(sel))["text"].to_pylist()
+        gs = _gram_hashes_batch(texts, n)
+        cat = np.unique(np.concatenate(gs)) if gs else np.empty(0, np.uint64)
+        return pa.table({"gram": pa.array(cat.view(np.int64), pa.int64())})
+
+    # small-side index: block-local distinct -> driver unique -> one
+    # broadcast object (bounded by the benchmark's gram vocabulary)
+    parts = [b["gram"].to_numpy() for b in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+    index = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    iref = ray.put(index)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        idx = ray.get(iref)
+        gs = _gram_hashes_batch(batch["text"].to_pylist(), n)
+        hits = np.zeros(batch.num_rows, np.int64)
+        for i, g in enumerate(gs):
+            if len(g) and len(idx):
+                pos = np.searchsorted(idx, g.view(np.int64))
+                pos = np.minimum(pos, len(idx) - 1)
+                hits[i] = int((idx[pos] == g.view(np.int64)).sum())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow").sort("doc_id")

@@ -64,6 +64,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "events_value_histogram",
         "events_type_transitions",
         "tpch_unshipped_orders",
+        "docs_contamination",
     ],
 )
 def test_new_queries_match_their_oracles(ray_session, key):
