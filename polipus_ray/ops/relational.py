@@ -187,7 +187,7 @@ def _revenue_per_order(sf_dir: str, shipped_after: str):
     return _bucket_tag(parts, "l_orderkey", join_partitions(None)).map_groups(fold, batch_format="pyarrow")
 
 
-def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date: str = "1998-06-30"):
+def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date: str = "1998-06-30", broadcast_limit: int = 2_000_000):
     """TPC-H Q3 shape: top-``n`` open orders by post-``date`` revenue
     for customers in ``segment``.
 
@@ -251,14 +251,61 @@ def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date
     # join is pure spin-up (measured 2.5 s -> sub-second at sf0.1)
     import pyarrow.parquet as pq2
 
-    n_orders = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
-    joined = rev.join(
-        orders,
-        join_type="inner",
-        num_partitions=join_partitions(n_orders),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    # adaptive dual path (the _jaccard_verify_join pattern): the probe
+    # side after the segment+date filters is usually FAR below
+    # broadcast scale — count it (narrow materialized dataset) and
+    # broadcast-join below the gate (one ray.put + searchsorted per
+    # batch, no aggregator actors), native hash join above.  Both
+    # paths pinned equal by test_order_revenue_join_paths_equal.
+    orders = orders.materialize()
+    n_open = orders.count()
+    if n_open <= broadcast_limit:
+        parts_t = [b for b in orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        ot = pa.concat_tables(parts_t) if parts_t else None
+        if ot is None or ot.num_rows == 0:
+            bref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64), pa.array([], pa.string())))
+        else:
+            ks = ot["o_orderkey"].to_numpy()
+            o_ord = np.argsort(ks)
+            bref = ray.put(
+                (
+                    ks[o_ord],
+                    ot["o_orderdate_us"].to_numpy()[o_ord],
+                    ot["o_orderpriority"].combine_chunks().take(pa.array(o_ord)),
+                )
+            )
+
+        def bjoin(batch: pa.Table) -> pa.Table:
+            ks_, ds_, ps_ = ray.get(bref)
+            lk = batch["l_orderkey"].to_numpy()
+            if len(ks_):
+                pos = np.searchsorted(ks_, lk)
+                np.clip(pos, 0, len(ks_) - 1, out=pos)
+                hit = ks_[pos] == lk
+            else:
+                hit = np.zeros(len(lk), bool)
+                pos = np.zeros(len(lk), np.int64)
+            b = batch.filter(pa.array(hit))
+            p2 = pos[hit]
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "revenue_cc": b["revenue_cc"],
+                    "o_orderdate_us": pa.array(ds_[p2], pa.int64()),
+                    "o_orderpriority": ps_.take(pa.array(p2)),
+                }
+            )
+
+        joined = rev.map_batches(bjoin, batch_format="pyarrow")
+    else:
+        n_orders = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        joined = rev.join(
+            orders,
+            join_type="inner",
+            num_partitions=join_partitions(n_orders),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
 
     def topn(batch: pa.Table) -> pa.Table:
         rev_v = batch["revenue_cc"].to_numpy()
@@ -360,14 +407,17 @@ def region_sales(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow").groupby("lab").map_groups(merge, batch_format="pyarrow").sort(["r_name", "n_name"])
 
 
-def unshipped_orders(sf_dir: str, date: str = "1998-06-30"):
+def unshipped_orders(sf_dir: str, date: str = "1998-06-30", broadcast_limit: int = 8_000_000):
     """ANTI-join plan: orders with NO lineitem shipped after ``date``.
 
     The build side (distinct post-``date`` orderkeys) is reduced
     map-side to per-batch distinct keys, folded in bounded hash
-    buckets, then NATIVE left_outer-joined against orders with a
-    null-marker filter — the same anti-join shape the crawl's
-    storage-dedup uses (J2), exposed as a standalone relational query.
+    buckets; below ``broadcast_limit`` keys (8 B each — the gate is
+    64 MB of int64s) the sorted key array broadcasts via ``ray.put``
+    and the anti-probe is one ``searchsorted`` per orders batch (no
+    join actors at all); above it, NATIVE left_outer join + null-marker
+    filter — the same anti-join shape the crawl's storage-dedup uses
+    (J2).  Paths pinned equal by test_unshipped_join_paths_equal.
     Output: o_orderkey, o_orderdate_us, o_totalprice_c.
     """
     import ray.data
@@ -407,6 +457,29 @@ def unshipped_orders(sf_dir: str, date: str = "1998-06-30"):
         )
 
     import pyarrow.parquet as pq2
+
+    shipped = shipped.materialize()
+    n_keys = shipped.count()
+    if n_keys <= broadcast_limit:
+        import ray
+
+        parts_t = [b["l_orderkey"].to_numpy() for b in shipped.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        keys = np.sort(np.concatenate(parts_t)) if parts_t else np.empty(0, np.int64)
+        kref = ray.put(keys)
+
+        def anti_bcast(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            b = prep(batch)
+            ok = b["o_orderkey"].to_numpy()
+            if len(ks):
+                pos = np.searchsorted(ks, ok)
+                np.clip(pos, 0, len(ks) - 1, out=pos)
+                keep = ks[pos] != ok
+            else:
+                keep = np.ones(len(ok), bool)
+            return b.filter(pa.array(keep))
+
+        return orders.map_batches(anti_bcast, batch_format="pyarrow").sort("o_orderkey")
 
     n_orders = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     j = orders.map_batches(prep, batch_format="pyarrow").join(

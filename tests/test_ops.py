@@ -682,3 +682,26 @@ def test_pagerank_distributed_equals_driver(ray_session):
     b = pagerank(SF, iters=3, driver_edge_limit=0).to_pandas().reset_index(drop=True)
     assert (a["doc_id"] == b["doc_id"]).all()
     assert (a["rank_int"] == b["rank_int"]).all()
+
+
+def test_order_revenue_join_paths_equal(ray_session):
+    """The gated broadcast join (post-filter orders fit the broadcast
+    budget) and the native hash join must produce identical top-n
+    results."""
+    from polipus_ray.ops.relational import order_revenue_topn
+
+    bcast = order_revenue_topn(SF, n=20).to_pandas().reset_index(drop=True)
+    native = order_revenue_topn(SF, n=20, broadcast_limit=0).to_pandas().reset_index(drop=True)
+    assert len(bcast) > 0
+    assert bcast.equals(native)
+
+
+def test_unshipped_join_paths_equal(ray_session):
+    """The gated broadcast anti-probe and the native left_outer +
+    null-marker anti-join must produce identical rows."""
+    from polipus_ray.ops.relational import unshipped_orders
+
+    bcast = unshipped_orders(SF).to_pandas().reset_index(drop=True)
+    native = unshipped_orders(SF, broadcast_limit=0).to_pandas().reset_index(drop=True)
+    assert len(bcast) > 0
+    assert bcast.equals(native)
