@@ -155,14 +155,20 @@ def contamination(sf_dir: str, n: int = 8, bench_mod: int = 97):
     iref = ray.put(index)
 
     def mark(batch: pa.Table) -> pa.Table:
+        from polipus_ray.ops.dedup import sorted_member
+
         idx = ray.get(iref)
         gs = _gram_hashes_batch(batch["text"].to_pylist(), n)
+        # ONE membership probe for the whole batch's grams, then
+        # per-doc segment sums over the gram-count bounds
+        counts = np.fromiter((len(g) for g in gs), np.int64, len(gs))
         hits = np.zeros(batch.num_rows, np.int64)
-        for i, g in enumerate(gs):
-            if len(g) and len(idx):
-                pos = np.searchsorted(idx, g.view(np.int64))
-                pos = np.minimum(pos, len(idx) - 1)
-                hits[i] = int((idx[pos] == g.view(np.int64)).sum())
+        if counts.sum() and len(idx):
+            flat = np.concatenate([g.view(np.int64) for g in gs if len(g)])
+            hit, _ = sorted_member(idx, flat)
+            c = np.concatenate([[0], np.cumsum(hit, dtype=np.int64)])
+            ends = np.cumsum(counts)
+            hits = c[ends] - c[ends - counts]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

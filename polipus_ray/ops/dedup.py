@@ -56,6 +56,19 @@ _PAIR_CHUNK = 512
 _JOIN_ROWS_PER_PARTITION = 250_000
 
 
+def sorted_member(keys_sorted: np.ndarray, queries: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Membership of ``queries`` in a SORTED key array: returns
+    ``(hit, pos)`` where ``pos`` is the clamped searchsorted position
+    (valid to index ``keys_sorted`` wherever ``hit``).  The one probe
+    idiom behind every ray.put broadcast join/anti-join/filter here —
+    keep the clamp logic in one place."""
+    if not len(keys_sorted):
+        return np.zeros(len(queries), bool), np.zeros(len(queries), np.int64)
+    pos = np.searchsorted(keys_sorted, queries)
+    np.clip(pos, 0, len(keys_sorted) - 1, out=pos)
+    return keys_sorted[pos] == queries, pos
+
+
 def join_partitions(rows: int | None = None, floor: int = 8) -> int:
     """Partition count for Dataset joins, derived from the join input
     size (~250k rows/partition) and clamped to [floor, 4x cluster

@@ -236,11 +236,10 @@ def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date
     seg_ref = ray.put(np.sort(seg_keys))
 
     def seg_filter(batch: pa.Table) -> pa.Table:
+        from polipus_ray.ops.dedup import sorted_member
+
         keys = ray.get(seg_ref)
-        ck = batch["o_custkey"].to_numpy()
-        pos = np.searchsorted(keys, ck)
-        pos[pos >= len(keys)] = 0
-        hit = keys[pos] == ck if len(keys) else np.zeros(len(ck), bool)
+        hit, _ = sorted_member(keys, batch["o_custkey"].to_numpy())
         return batch.filter(pa.array(hit)).drop_columns(["o_custkey"])
 
     orders = orders.map_batches(seg_filter, batch_format="pyarrow")
@@ -249,17 +248,17 @@ def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date
     # (parquet metadata — free), not the CPU count: each partition
     # spins an aggregator actor, and 32 partitions for a sub-100k-row
     # join is pure spin-up (measured 2.5 s -> sub-second at sf0.1)
-    import pyarrow.parquet as pq2
-
     # adaptive dual path (the _jaccard_verify_join pattern): the probe
     # side after the segment+date filters is usually FAR below
     # broadcast scale — count it (narrow materialized dataset) and
     # broadcast-join below the gate (one ray.put + searchsorted per
     # batch, no aggregator actors), native hash join above.  Both
-    # paths pinned equal by test_order_revenue_join_paths_equal.
+    # paths pinned equal by test_order_revenue_join_paths_equal
+    # (broadcast_limit=0 with a STRICT gate forces native even for an
+    # empty probe side).
     orders = orders.materialize()
     n_open = orders.count()
-    if n_open <= broadcast_limit:
+    if n_open < broadcast_limit:
         parts_t = [b for b in orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
         ot = pa.concat_tables(parts_t) if parts_t else None
         if ot is None or ot.num_rows == 0:
@@ -276,15 +275,11 @@ def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date
             )
 
         def bjoin(batch: pa.Table) -> pa.Table:
+            from polipus_ray.ops.dedup import sorted_member
+
             ks_, ds_, ps_ = ray.get(bref)
             lk = batch["l_orderkey"].to_numpy()
-            if len(ks_):
-                pos = np.searchsorted(ks_, lk)
-                np.clip(pos, 0, len(ks_) - 1, out=pos)
-                hit = ks_[pos] == lk
-            else:
-                hit = np.zeros(len(lk), bool)
-                pos = np.zeros(len(lk), np.int64)
+            hit, pos = sorted_member(ks_, lk)
             b = batch.filter(pa.array(hit))
             p2 = pos[hit]
             return pa.table(
@@ -298,7 +293,7 @@ def order_revenue_topn(sf_dir: str, n: int = 20, segment: str = "BUILDING", date
 
         joined = rev.map_batches(bjoin, batch_format="pyarrow")
     else:
-        n_orders = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
         joined = rev.join(
             orders,
             join_type="inner",
@@ -456,11 +451,11 @@ def unshipped_orders(sf_dir: str, date: str = "1998-06-30", broadcast_limit: int
             }
         )
 
-    import pyarrow.parquet as pq2
+    import pyarrow.parquet as pq
 
     shipped = shipped.materialize()
     n_keys = shipped.count()
-    if n_keys <= broadcast_limit:
+    if n_keys < broadcast_limit:
         import ray
 
         parts_t = [b["l_orderkey"].to_numpy() for b in shipped.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
@@ -468,20 +463,16 @@ def unshipped_orders(sf_dir: str, date: str = "1998-06-30", broadcast_limit: int
         kref = ray.put(keys)
 
         def anti_bcast(batch: pa.Table) -> pa.Table:
+            from polipus_ray.ops.dedup import sorted_member
+
             ks = ray.get(kref)
             b = prep(batch)
-            ok = b["o_orderkey"].to_numpy()
-            if len(ks):
-                pos = np.searchsorted(ks, ok)
-                np.clip(pos, 0, len(ks) - 1, out=pos)
-                keep = ks[pos] != ok
-            else:
-                keep = np.ones(len(ok), bool)
-            return b.filter(pa.array(keep))
+            hit, _ = sorted_member(ks, b["o_orderkey"].to_numpy())
+            return b.filter(pa.array(~hit))
 
         return orders.map_batches(anti_bcast, batch_format="pyarrow").sort("o_orderkey")
 
-    n_orders = pq2.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     j = orders.map_batches(prep, batch_format="pyarrow").join(
         shipped,
         join_type="left_outer",
